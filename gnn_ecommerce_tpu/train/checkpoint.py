@@ -1,0 +1,82 @@
+"""Checkpoint save/load with mid-training resume.
+
+The reference saves ``{timestamp, epoch, model_state_dict,
+optimizer_state_dict, precision, recall, hyperparams}`` via ``torch.save``
+(``src/utils_v2.py:214-232``) but never restores the optimizer state —
+mid-training resume does not exist there (SURVEY.md §5). This framework
+persists the same logical payload as an ``.npz`` of pytree leaves plus a JSON
+manifest, and restores BOTH params and optimizer state so training resumes
+exactly (a designed-in capability, not reference parity).
+
+Layout per checkpoint directory:
+    <dir>/checkpoint.npz   leaf_0..leaf_N of tree_flatten((params, opt_state))
+    <dir>/meta.json        epoch/step, metrics, hyperparams, timestamp
+"""
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import jax
+import numpy as np
+
+BEST_NAME = "LightGCN_best"  # reference file-name parity (train_lightgcn.py:114)
+LAST_NAME = "LightGCN_last"
+
+
+def save_checkpoint(
+    directory: str,
+    params,
+    opt_state,
+    *,
+    epoch: int,
+    precision: float,
+    recall: float,
+    hyperparams: dict | None = None,
+    name: str = BEST_NAME,
+) -> str:
+    path = os.path.join(directory, name)
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves((params, opt_state))
+    np.savez(
+        os.path.join(path, "checkpoint.npz"),
+        **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+    )
+    meta = {
+        "timestamp": datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
+        "epoch": int(epoch),
+        "precision": float(precision),
+        "recall": float(recall),
+        "hyperparams": hyperparams or {},
+        "num_leaves": len(leaves),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def load_checkpoint(directory: str, name: str = BEST_NAME) -> tuple[list, dict]:
+    """Load raw leaves + metadata; combine with ``restore_into``."""
+    path = os.path.join(directory, name)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    data = np.load(os.path.join(path, "checkpoint.npz"))
+    leaves = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
+    return leaves, meta
+
+
+def restore_into(params_like, opt_state_like, leaves: list):
+    """Rebuild (params, opt_state) from loaded leaves using template pytrees
+    (fresh ``init_params`` / ``optimizer.init`` outputs define the treedef)."""
+    treedef = jax.tree_util.tree_structure((params_like, opt_state_like))
+    template_leaves = jax.tree_util.tree_leaves((params_like, opt_state_like))
+    assert len(template_leaves) == len(leaves), (
+        f"checkpoint has {len(leaves)} leaves, template has {len(template_leaves)}"
+    )
+    import jax.numpy as jnp
+
+    new_leaves = [
+        jnp.asarray(leaf, dtype=t.dtype) for leaf, t in zip(leaves, template_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -1,0 +1,235 @@
+"""Training driver: epoch loop with per-epoch validation, best-model
+checkpointing, structured logging, and resume.
+
+Reference: ``TrainLightGCN`` (``src/train_lightgcn.py:8-162``). Differences by
+design (SURVEY.md §7.4 documented deviations):
+- the FINAL test evaluation uses the restored best checkpoint — the reference
+  builds ``test_model`` from the best checkpoint but then evaluates the
+  last-epoch ``model`` (``src/train_lightgcn.py:64-73``), a bug we fix;
+- every epoch's losses/metrics are persisted as JSONL (the reference only
+  prints and returns python lists);
+- the RNG seed is actually consumed (the reference declares
+  ``random_seed: 42`` in config.yaml but never uses it);
+- mid-training resume restores optimizer state and epoch counter.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from ..data.prepare import PreparedData
+from ..eval.evaluate import build_eval_batch, evaluate
+from ..graph.build import build_graph
+from ..models.lightgcn import LightGCNConfig, get_embedding, init_params
+from ..ops.propagate import propagate_segment
+from ..sampling.bpr import make_sampler_data
+from .checkpoint import BEST_NAME, LAST_NAME, load_checkpoint, restore_into, save_checkpoint
+from .step import make_train_fns
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Hyperparameters (reference ``tune_config``,
+    ``src/train_lightgcn.py:47-53``, defaults per README tunable ranges)."""
+
+    latent_dim: int = 64
+    n_layers: int = 3
+    lr: float = 0.005
+    decay: float = 1e-4
+    batch_size: int = 1024
+    epochs: int = 20
+    k: int = 20
+    seed: int = 42
+    # Reference epoch definition: train_size // (batch_size * 40)
+    # (src/train_lightgcn.py:92); None -> that formula, min 1.
+    batches_per_epoch: Optional[int] = None
+    checkpoint_dir: str = "model-checkpoints"
+    mask_mode: str = "neginf"
+    resume: bool = False
+    sample_replace: bool = True
+    log_path: Optional[str] = None  # default: <checkpoint_dir>/train_log.jsonl
+
+    def hyperparams(self) -> dict:
+        # Reference key-name parity for checkpoint metadata
+        # (src/train_lightgcn.py:47-53).
+        return {
+            "latent_dim": self.latent_dim,
+            "n_layers": self.n_layers,
+            "LR": self.lr,
+            "DECAY": self.decay,
+            "BATCH_SIZE": self.batch_size,
+        }
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: dict
+    history: list
+    best_epoch: int
+    best_val_precision: float
+    best_val_recall: float
+    test_precision: float
+    test_recall: float
+
+
+def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> TrainResult:
+    os.makedirs(config.checkpoint_dir, exist_ok=True)
+    log_path = config.log_path or os.path.join(config.checkpoint_dir, "train_log.jsonl")
+    log_f = open(log_path, "a")
+
+    def log(record: dict):
+        record = {k: (float(v) if isinstance(v, (np.floating, np.integer)) else v)
+                  for k, v in record.items()}
+        log_f.write(json.dumps(record) + "\n")
+        log_f.flush()
+        if verbose:
+            print(record.get("msg") or json.dumps(record))
+
+    graph = build_graph(
+        prepared.edge_user,
+        prepared.edge_item_node,
+        prepared.edge_weight,
+        prepared.n_users,
+        prepared.n_items,
+        items_offset=True,
+    )
+    sdata = make_sampler_data(prepared.sampler, prepared.n_users, prepared.n_items)
+    val_batch = build_eval_batch(prepared.val)
+    test_batch = build_eval_batch(prepared.test)
+
+    cfg = LightGCNConfig(
+        num_nodes=graph.num_nodes,
+        embedding_dim=config.latent_dim,
+        num_layers=config.n_layers,
+    )
+    key = jax.random.key(config.seed)
+    params = init_params(jax.random.fold_in(key, 0), cfg)
+    optimizer = optax.adam(config.lr)
+    opt_state = optimizer.init(params)
+
+    start_epoch = 0
+    if config.resume and os.path.exists(
+        os.path.join(config.checkpoint_dir, LAST_NAME, "meta.json")
+    ):
+        leaves, meta = load_checkpoint(config.checkpoint_dir, LAST_NAME)
+        params, opt_state = restore_into(params, opt_state, leaves)
+        start_epoch = meta["epoch"] + 1
+        log({"msg": f"resumed from epoch {meta['epoch']} (next: {start_epoch})"})
+
+    train_size = len(prepared.edge_user)
+    n_batch = config.batches_per_epoch or max(1, train_size // (config.batch_size * 40))
+
+    _, run_steps = make_train_fns(
+        cfg,
+        optimizer,
+        config.batch_size,
+        config.decay,
+        sample_replace=config.sample_replace,
+    )
+
+    log(
+        {
+            "msg": (
+                f"training: {prepared.n_users} users x {prepared.n_items} items, "
+                f"{graph.num_edges} edges, {n_batch} batches/epoch, "
+                f"dim {config.latent_dim}, {config.n_layers} layers"
+            )
+        }
+    )
+
+    history = []
+    best_recall = 0.0
+    best_epoch = -1
+    best_precision = 0.0
+    for epoch in range(start_epoch, config.epochs):
+        t0 = time.perf_counter()
+        params, opt_state, metrics = run_steps(
+            params, opt_state, graph, sdata, jax.random.fold_in(key, 1000 + epoch), n_batch
+        )
+        jax.block_until_ready(params)
+        t_train = time.perf_counter() - t0
+
+        final_emb = get_embedding(params, graph, cfg)
+        precision, recall, _, _, _ = evaluate(
+            final_emb, val_batch, prepared.n_users, config.k, mask_mode=config.mask_mode
+        )
+        t_total = time.perf_counter() - t0
+        rec = {
+            "epoch": epoch,
+            "bpr_loss": float(metrics["bpr_loss"]),
+            "reg_loss": float(metrics["reg_loss"]),
+            "loss": float(metrics["loss"]),
+            "val_precision": precision,
+            "val_recall": recall,
+            "train_s": t_train,
+            "epoch_s": t_total,
+            "edges_per_s": graph.num_arcs
+            * cfg.num_layers
+            * n_batch
+            * 3  # fwd + 2x in bwd (grad wrt messages and embeddings)
+            / max(t_train, 1e-9),
+        }
+        history.append(rec)
+        log(
+            {
+                **rec,
+                "msg": (
+                    f"Epoch {epoch}: Val P@{config.k}: {precision:.6f}, "
+                    f"R@{config.k}: {recall:.6f}, Loss: ({metrics['bpr_loss']:.6f}, "
+                    f"{metrics['reg_loss']:.6f}, {metrics['loss']:.6f}) "
+                    f"[{t_total:.2f}s]"
+                ),
+            }
+        )
+
+        save_checkpoint(
+            config.checkpoint_dir, params, opt_state,
+            epoch=epoch, precision=precision, recall=recall,
+            hyperparams=config.hyperparams(), name=LAST_NAME,
+        )
+        if recall > best_recall:
+            best_recall, best_precision, best_epoch = recall, precision, epoch
+            save_checkpoint(
+                config.checkpoint_dir, params, opt_state,
+                epoch=epoch, precision=precision, recall=recall,
+                hyperparams=config.hyperparams(), name=BEST_NAME,
+            )
+
+    # Final test eval on the BEST checkpoint (fixes the reference bug that
+    # evaluates the last-epoch model, src/train_lightgcn.py:73).
+    if best_epoch >= 0:
+        leaves, _ = load_checkpoint(config.checkpoint_dir, BEST_NAME)
+        params, opt_state = restore_into(params, opt_state, leaves)
+    final_emb = get_embedding(params, graph, cfg)
+    test_precision, test_recall, _, _, _ = evaluate(
+        final_emb, test_batch, prepared.n_users, config.k, mask_mode=config.mask_mode
+    )
+    log(
+        {
+            "msg": (
+                f"Best epoch ({best_epoch}): Val P@{config.k}: {best_precision:.6f}, "
+                f"R@{config.k}: {best_recall:.6f} | Test P@{config.k}: "
+                f"{test_precision:.6f}, R@{config.k}: {test_recall:.6f}"
+            ),
+            "best_epoch": best_epoch,
+            "test_precision": test_precision,
+            "test_recall": test_recall,
+        }
+    )
+    log_f.close()
+    return TrainResult(
+        params=params,
+        history=history,
+        best_epoch=best_epoch,
+        best_val_precision=best_precision,
+        best_val_recall=best_recall,
+        test_precision=test_precision,
+        test_recall=test_recall,
+    )

@@ -6,12 +6,17 @@ Real-TPU execution is exercised by ``bench.py`` and the driver's
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
+# jax.config.update is the reliable way to force the CPU backend.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

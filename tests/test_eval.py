@@ -1,0 +1,93 @@
+"""Blocked top-K scorer + MARK metrics vs brute-force numpy and torch oracle."""
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from gnn_ecommerce_tpu.ops.topk_score import topk_scores
+from gnn_ecommerce_tpu.eval import recall_precision_at_k, build_eval_batch, evaluate
+from gnn_ecommerce_tpu.data.prepare import CsrList, EvalSplit
+
+
+def brute_topk(u_emb, i_emb, mask_idx, k, mode):
+    scores = u_emb @ i_emb.T
+    for b in range(scores.shape[0]):
+        ids = mask_idx[b][mask_idx[b] >= 0]
+        if mode == "neginf":
+            scores[b, ids] = -np.inf
+        else:
+            scores[b, ids] *= 0.0
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, 1), idx
+
+
+def test_topk_matches_bruteforce(rng):
+    B, I, D, k = 16, 1000, 24, 10
+    u = rng.standard_normal((B, D)).astype(np.float32)
+    it = rng.standard_normal((I, D)).astype(np.float32)
+    mask = np.full((B, 5), -1, np.int32)
+    for b in range(B):
+        n = rng.integers(0, 6)
+        mask[b, :n] = rng.choice(I, n, replace=False)
+    for mode in ("neginf", "multiply"):
+        vals, idx = topk_scores(jnp.asarray(u), jnp.asarray(it), jnp.asarray(mask),
+                                k, item_tile=256, mask_mode=mode)
+        bv, bi = brute_topk(u.copy(), it, mask, k, mode)
+        # Compare score sets (tie order may differ).
+        np.testing.assert_allclose(np.sort(np.asarray(vals), 1), np.sort(bv, 1),
+                                   rtol=1e-4, atol=1e-5)
+        # Masked ids never recommended under neginf.
+        if mode == "neginf":
+            for b in range(B):
+                banned = set(mask[b][mask[b] >= 0].tolist())
+                assert banned.isdisjoint(np.asarray(idx)[b].tolist())
+
+
+def test_topk_matches_torch_topk(rng):
+    # Unmasked parity with torch.topk values (reference recommendK
+    # score+topk path, src/lightgcn.py:173-177).
+    B, I, D, k = 8, 500, 16, 20
+    u = rng.standard_normal((B, D)).astype(np.float32)
+    it = rng.standard_normal((I, D)).astype(np.float32)
+    mask = np.full((B, 1), -1, np.int32)
+    vals, idx = topk_scores(jnp.asarray(u), jnp.asarray(it), jnp.asarray(mask), k,
+                            item_tile=128)
+    tv, ti = torch.topk(torch.tensor(u) @ torch.tensor(it).T, k, dim=-1)
+    np.testing.assert_allclose(np.asarray(vals), tv.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_recall_precision(rng):
+    topk = jnp.asarray([[1, 2, 3], [4, 5, 6]])
+    truth = jnp.asarray([[2, 3, -1, -1], [9, -1, -1, -1]])
+    recall, precision = recall_precision_at_k(topk, truth, 3)
+    np.testing.assert_allclose(np.asarray(recall), [1.0, 0.0])
+    np.testing.assert_allclose(np.asarray(precision), [2 / 3, 0.0])
+
+
+def test_evaluate_end_to_end(rng):
+    # 4 users, 10 items; hand-checkable full evaluation.
+    n_users, n_items, D = 4, 10, 8
+    emb = rng.standard_normal((n_users + n_items, D)).astype(np.float32)
+    split = EvalSplit(
+        user_ids=np.array([0, 2, 3]),
+        truth=CsrList(np.array([0, 2, 3, 4]), np.array([1, 2, 5, 7])),
+        train_mask=CsrList(np.array([0, 1, 1, 2]), np.array([3, 0])),
+    )
+    batch = build_eval_batch(split)
+    k = 4
+    precision, recall, pu_recall, pu_precision, topk = evaluate(
+        jnp.asarray(emb), batch, n_users, k, user_tile=2, item_tile=4
+    )
+    # Brute force.
+    scores = emb[:n_users] @ emb[n_users:].T
+    exp_recalls = []
+    for i, u in enumerate([0, 2, 3]):
+        s = scores[u].copy()
+        for m in split.train_mask.row(i):
+            s[m] = -np.inf
+        top = set(np.argsort(-s)[:k].tolist())
+        tr = set(split.truth.row(i).tolist())
+        exp_recalls.append(len(top & tr) / len(tr))
+    np.testing.assert_allclose(pu_recall, exp_recalls, atol=1e-6)
+    np.testing.assert_allclose(recall, np.mean(exp_recalls), atol=1e-6)
+    np.testing.assert_allclose(precision, np.mean([r * len(split.truth.row(i)) / k
+                                                   for i, r in enumerate(exp_recalls)]), atol=1e-6)
