@@ -1,0 +1,230 @@
+"""Benchmark: LightGCN propagation + training throughput on one TPU chip.
+
+Builds a cosmetics-shop-scale synthetic graph (BASELINE.md: 1.64M users,
+54.6K items, ~10.16M unique weighted edges — the real dataset lives behind
+the reference's DVC remote and is unreachable), then measures:
+
+- effective propagation throughput of the bipartite-factorized fast path
+  (``ops/bipartite.py``: 2 big SpMMs + dense MXU item-operator chain instead
+  of 2L gather/scatter SpMMs), reported as LOGICAL edges/s/chip — arcs×layers
+  the reference would process for the same result (BASELINE.json headline);
+- full BPR train-step time (device-side sampling + fwd/bwd + Adam, batch
+  1024) and one full validation eval (blocked top-K over all items, 25K
+  users);
+- the layered segment-sum oracle path timing for comparison (stderr).
+
+vs_baseline: projected wall-clock speedup of the reference's full training
+workload (20 epochs x 235 steps + 20 evals ≈ its "about 24 hours to train"
+on a 24GB GPU, reference README.md:59) executed at the measured rates.
+
+Prints exactly ONE JSON line to stdout; progress goes to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# Reference-scale shape (BASELINE.md) and hyperparams (BASELINE.json config 4).
+N_USERS = 1_639_358
+N_ITEMS = 54_571
+N_EDGES = 10_157_407
+DIM = 80
+LAYERS = 4
+BATCH = 1024
+STEPS_PER_EPOCH = 235          # train_size/(1024*40), src/train_lightgcn.py:92
+EPOCHS = 20                    # reference CLI default (train_lightgcn.py:165)
+EVAL_USERS = 25_000
+REFERENCE_HOURS = 24.0         # reference README.md:59
+
+
+def skewed_ids(rng, n, size, a):
+    """Zipf-ish ids via inverse-CDF on rank weights (vectorized)."""
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    probs = ranks ** (-a)
+    cdf = np.cumsum(probs)
+    cdf /= cdf[-1]
+    u = rng.random(size)
+    return np.searchsorted(cdf, u).astype(np.int64).clip(0, n - 1)
+
+
+def build_synthetic_graph():
+    from gnn_ecommerce_tpu.graph import build_graph
+
+    rng = np.random.default_rng(0)
+    log(f"generating ~{N_EDGES} unique edges ...")
+    over = int(N_EDGES * 1.35)
+    u = skewed_ids(rng, N_USERS, over, 0.75)
+    i = skewed_ids(rng, N_ITEMS, over, 1.0)
+    key = u * (1 << 17) + i  # n_items < 2^17
+    key = np.unique(key)
+    rng.shuffle(key)
+    key = key[:N_EDGES]
+    u, i = key >> 17, key & ((1 << 17) - 1)
+    # Edge-weight profile like the capped pipeline output: mass at 0.01-0.5,
+    # ~20% purchases at exactly 1.0.
+    w = np.where(
+        rng.random(len(u)) < 0.2, 1.0, rng.uniform(0.01, 0.5, len(u))
+    ).astype(np.float32)
+    log(f"{len(u)} edges; building normalized graph ...")
+    return build_graph(u, i, w, N_USERS, N_ITEMS), (u, i, w)
+
+
+def timeit(f, *args, reps=5):
+    import jax
+
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gnn_ecommerce_tpu.data.prepare import CsrList, EvalSplit, SamplerArrays
+    from gnn_ecommerce_tpu.eval import build_eval_batch, evaluate
+    from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+    from gnn_ecommerce_tpu.ops.bipartite import build_fast_bipartite, fast_get_embedding
+    from gnn_ecommerce_tpu.ops.propagate import propagate_segment_chunked
+    from gnn_ecommerce_tpu.sampling import make_sampler_data
+    from gnn_ecommerce_tpu.train import make_train_fns
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    graph, (u, i, w) = build_synthetic_graph()
+    cfg = LightGCNConfig(num_nodes=graph.num_nodes, embedding_dim=DIM, num_layers=LAYERS)
+
+    # --- one-time: dense item-item 2-hop operator (static graph) ---
+    log("building B_ii item operator (one-time per graph) ...")
+    t0 = time.perf_counter()
+    fb = build_fast_bipartite(graph, dtype=jnp.bfloat16)
+    jax.block_until_ready(fb.item_op)
+    log(f"B_ii built in {time.perf_counter()-t0:.1f}s "
+        f"({fb.item_op.nbytes/1e9:.2f} GB bf16)")
+
+    params = init_params(jax.random.key(0), cfg)
+
+    # --- layered oracle path timing (for comparison only) ---
+    from gnn_ecommerce_tpu.models import get_embedding
+
+    layered = jax.jit(
+        lambda p: get_embedding(
+            p, graph, cfg, lambda g, x: propagate_segment_chunked(g, x, 8)
+        )
+    )
+    t_layered = timeit(layered, params, reps=2)
+    log(f"layered segment path: {t_layered*1e3:.0f} ms / {LAYERS} layers")
+
+    # --- fast bipartite path ---
+    fast = jax.jit(lambda p: fast_get_embedding(p, fb, LAYERS))
+    t_fast = timeit(fast, params, reps=10)
+    logical_edges = graph.num_arcs * LAYERS
+    edges_per_s = logical_edges / t_fast
+    log(
+        f"fast bipartite path: {t_fast*1e3:.1f} ms / {LAYERS} layers -> "
+        f"{edges_per_s:.3e} logical edges/s/chip ({t_layered/t_fast:.1f}x over layered)"
+    )
+
+    # --- train step (fast path) ---
+    purch = w == 1.0
+    pu, pi = u[purch], i[purch] + N_USERS
+    pos_users = np.unique(pu)
+    slot = np.searchsorted(pos_users, pu)
+    order = np.lexsort((pi, slot))
+    slot_s, pi_s = slot[order], pi[order]
+    indptr = np.zeros(len(pos_users) + 1, np.int64)
+    np.add.at(indptr, slot_s + 1, 1)
+    indptr = np.cumsum(indptr)
+    arrays = SamplerArrays(
+        users=pos_users, pos_indptr=indptr, pos_flat=pi_s,
+        ign_indptr=indptr, ign_flat=pi_s,
+    )
+    sdata = make_sampler_data(arrays, N_USERS, N_ITEMS)
+    optimizer = optax.adam(0.005)
+    opt_state = optimizer.init(params)
+    _, run_steps = make_train_fns(
+        cfg, optimizer, BATCH, decay=1e-4,
+        embed_fn=lambda p, fb_: fast_get_embedding(p, fb_, LAYERS),
+    )
+    log("compiling train steps ...")
+    params, opt_state, m = run_steps(params, opt_state, fb, sdata, jax.random.key(1), 5)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    reps_steps = 30
+    params, opt_state, m = run_steps(
+        params, opt_state, fb, sdata, jax.random.key(2), reps_steps
+    )
+    jax.block_until_ready(params)
+    step_s = (time.perf_counter() - t0) / reps_steps
+    log(f"train step: {step_s*1e3:.1f} ms (bpr={float(m['bpr_loss']):.4f})")
+
+    # --- eval ---
+    ev_users = pos_users[:EVAL_USERS].astype(np.int64)
+    ev_slots = np.searchsorted(pos_users, ev_users)
+    lens = (indptr[ev_slots + 1] - indptr[ev_slots]).astype(np.int64)
+    starts = indptr[ev_slots]
+    take = np.repeat(starts, lens) + (
+        np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(np.cumsum(np.append(0, lens[:-1])), lens)
+    )
+    tr_vals = pi_s[take] - N_USERS
+    tr_indptr = np.append(0, np.cumsum(lens))
+    rng = np.random.default_rng(7)
+    truth_vals = rng.integers(0, N_ITEMS, len(ev_users))
+    split = EvalSplit(
+        user_ids=ev_users,
+        truth=CsrList(np.arange(len(ev_users) + 1), truth_vals),
+        train_mask=CsrList(tr_indptr, tr_vals),
+    )
+    batch = build_eval_batch(split)
+    final_emb = fast(params)
+    jax.block_until_ready(final_emb)
+    log("compiling eval ...")
+    evaluate(final_emb, batch, N_USERS, k=20)  # compile
+    t0 = time.perf_counter()
+    precision, recall, _, _, _ = evaluate(final_emb, batch, N_USERS, k=20)
+    eval_s = time.perf_counter() - t0
+    log(f"eval ({len(ev_users)} users x {N_ITEMS} items): {eval_s:.2f}s")
+
+    # --- projection vs reference ---
+    epoch_s = STEPS_PER_EPOCH * step_s + eval_s + t_fast
+    projected_hours = EPOCHS * epoch_s / 3600.0
+    vs_baseline = REFERENCE_HOURS / projected_hours
+    log(
+        f"projected full training: {projected_hours:.3f} h for {EPOCHS} epochs "
+        f"(reference: {REFERENCE_HOURS} h) -> {vs_baseline:.1f}x"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "lightgcn_effective_propagation_throughput",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s/chip",
+                "vs_baseline": round(vs_baseline, 2),
+                "detail": {
+                    "fast_forward_ms": round(t_fast * 1e3, 2),
+                    "layered_forward_ms": round(t_layered * 1e3, 2),
+                    "train_step_ms": round(step_s * 1e3, 2),
+                    "eval_s": round(eval_s, 2),
+                    "projected_train_hours": round(projected_hours, 3),
+                    "graph": f"{N_USERS}x{N_ITEMS}, {N_EDGES} edges, dim {DIM}, {LAYERS} layers",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,7 +39,8 @@ def _pad_csr(indptr: np.ndarray, values: np.ndarray, width: int) -> np.ndarray:
     lens = np.diff(indptr)
     # Row-major fill via flat assignment (vectorized; no python loop per row).
     row_idx = np.repeat(np.arange(rows), lens)
-    col_idx = np.concatenate([np.arange(l) for l in lens]) if rows else np.array([], int)
+    starts = np.repeat(indptr[:-1], lens)
+    col_idx = np.arange(int(lens.sum()), dtype=np.int64) - starts
     out[row_idx, col_idx] = values
     return out
 

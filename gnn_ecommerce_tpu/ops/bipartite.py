@@ -1,0 +1,294 @@
+"""Bipartite-factorized LightGCN propagation — the flagship TPU-first design.
+
+The reference (and our layered oracle path) runs 2·L sparse gather/scatter
+SpMMs per forward pass (L LGConv layers over the unified node space,
+``src/lightgcn.py:91-99``). On TPU, arbitrary-row gather/scatter is
+descriptor-rate-limited (~100 GB/s measured vs ~800 GB/s HBM), so sparse ops
+are the wall. This module removes almost all of them with an algebraic
+restructure that is exact (no approximation beyond float arithmetic):
+
+Propagation alternates sides of the bipartite graph:
+
+    u^{l+1} = Â_ui · i^l          i^{l+1} = Â_iu · u^l
+
+so every item layer for l ≥ 2 satisfies  i^{l+1} = (Â_iu Â_ui) · i^{l-1}
+=: B_ii · i^{l-1}, where B_ii is the ITEM-ITEM 2-hop operator — a dense
+[n_items, n_items] matrix (items number ~54.6K at cosmetics scale: 6 GB in
+bf16) that the MXU multiplies in milliseconds. The user-side layers only
+matter through the final alpha-weighted sum:
+
+    out_u = α_0 E_u + Â_ui · S_i,     S_i = Σ_{l=1..L} α_l i^{l-1}
+    out_i = Σ_l α_l i^l,              i^1 = Â_iu · E_u
+
+Total sparse work per forward: exactly TWO big SpMMs (one per direction),
+independent of depth — plus (L-1) dense B_ii matmuls. Backward is symmetric
+(Â_ui^T = Â_iu exactly; B_ii^T = B_ii), so a train step needs 4 big SpMMs
+total instead of 6·L gather/scatter passes.
+
+B_ii is precomputed once per (static) graph on device: degree-binned — light
+users contribute W-padded outer products via scatter-add; heavy users are
+densified per chunk and contribute via MXU matmuls (Σ_u deg_u² flops would
+explode through the scatter path for power-law tails).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.build import BipartiteGraph
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BipartiteSplit:
+    """Direction-split arc lists (derived from the unified sorted-by-dst
+    arrays — arcs with dst < n_users form the item→user prefix)."""
+
+    # items → users (output users): sorted by dst user
+    iu_src_item: jax.Array   # [E] local item ids
+    iu_dst_user: jax.Array   # [E] user ids
+    iu_w: jax.Array          # [E] normalized weights
+    # users → items (output items): sorted by dst item
+    ui_src_user: jax.Array   # [E] user ids
+    ui_dst_item: jax.Array   # [E] local item ids
+    ui_w: jax.Array          # [E] normalized weights
+    n_users: int = dataclasses.field(metadata=dict(static=True))
+    n_items: int = dataclasses.field(metadata=dict(static=True))
+
+
+def split_graph(graph: BipartiteGraph) -> BipartiteSplit:
+    n_users = graph.n_users
+    # Unified arcs are sorted by dst; user-destinations are the prefix.
+    n_iu = int(np.searchsorted(np.asarray(graph.dst), n_users))
+    return BipartiteSplit(
+        iu_src_item=graph.src[:n_iu] - n_users,
+        iu_dst_user=graph.dst[:n_iu],
+        iu_w=graph.w_norm[:n_iu],
+        ui_src_user=graph.src[n_iu:],
+        ui_dst_item=graph.dst[n_iu:] - n_users,
+        ui_w=graph.w_norm[n_iu:],
+        n_users=n_users,
+        n_items=graph.n_items,
+    )
+
+
+def _seg_spmm(x, src, dst, w, n_out: int):
+    msgs = x[src].astype(jnp.float32) * w[:, None]
+    return jax.ops.segment_sum(msgs, dst, num_segments=n_out, indices_are_sorted=True)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def to_users(x_items, split: BipartiteSplit, _tag: str = "iu"):
+    """out_users = Â_ui · x_items (one big SpMM, sorted destinations)."""
+    return _seg_spmm(
+        x_items, split.iu_src_item, split.iu_dst_user, split.iu_w, split.n_users
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def to_items(x_users, split: BipartiteSplit, _tag: str = "ui"):
+    """out_items = Â_iu · x_users (one big SpMM, sorted destinations)."""
+    return _seg_spmm(
+        x_users, split.ui_src_user, split.ui_dst_item, split.ui_w, split.n_items
+    )
+
+
+def _to_users_fwd(x_items, split, _tag):
+    return to_users(x_items, split, _tag), split
+
+
+def _to_users_bwd(_tag, split, g):
+    # (Â_ui)^T = Â_iu exactly (symmetric normalization, duplicated arcs).
+    return to_items(g, split), None
+
+
+def _to_items_fwd(x_users, split, _tag):
+    return to_items(x_users, split, _tag), split
+
+
+def _to_items_bwd(_tag, split, g):
+    return to_users(g, split), None
+
+
+to_users.defvjp(_to_users_fwd, _to_users_bwd)
+to_items.defvjp(_to_items_fwd, _to_items_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Item-item 2-hop operator
+# ---------------------------------------------------------------------------
+
+
+def build_item_operator(
+    split: BipartiteSplit,
+    dtype=jnp.float32,
+    ell_width: int = 8,
+    heavy_chunk: int = 512,
+    scatter_chunk: int = 100_000,
+    band_bytes: float = 5.5e9,
+) -> jax.Array:
+    """Compute dense B_ii = Â_iu · Â_ui  [n_items, n_items] on device.
+
+    B_ii[a, b] = Σ_u Âiu[a, u] · Âui[u, b] — a sum of per-user outer products
+    of their (item, weight) incidence vectors. Two TPU constraints shape the
+    algorithm:
+
+    - a float32 [I, I] accumulator is ~12 GB at cosmetics scale, and TPU
+      scatter indices of shape [N, 2] are tile-padded 64× (minor dim 2 → 128),
+      so B is built in ROW BANDS: an f32 [R, I] band accumulator with FLAT
+      1-D int32 indices ((a - band_start)·I + b, kept < 2^31 by the band
+      split), each band cast to ``dtype`` before the next starts — peak HBM
+      is one f32 band + the finished bf16 bands;
+    - users are degree-binned (power-law tail): deg ≤ ell_width users go
+      through W-padded ELL outer-product scatter (Σ deg² updates); heavier
+      users are densified per ``heavy_chunk`` into M [I, C] and contribute
+      via MXU matmuls  band += M[band] @ Mᵀ.
+
+    Accumulation is float32 throughout; returns B in ``dtype``.
+    """
+    n_items = split.n_items
+
+    def flat_positions(counts: np.ndarray) -> np.ndarray:
+        # position-within-run for run-length-encoded rows, vectorized.
+        starts = np.repeat(np.cumsum(np.append(0, counts[:-1])), counts)
+        return np.arange(counts.sum(), dtype=np.int64) - starts
+
+    # Host-side CSR over users of the ui direction (src user -> (item, w)).
+    ui_user = np.asarray(split.ui_src_user)
+    ui_item = np.asarray(split.ui_dst_item)
+    ui_w = np.asarray(split.ui_w)
+    order = np.argsort(ui_user, kind="stable")
+    ui_user, ui_item, ui_w = ui_user[order], ui_item[order], ui_w[order]
+    users, first = np.unique(ui_user, return_index=True)
+    counts = np.diff(np.append(first, len(ui_user)))
+
+    # Band split: f32 band ≤ band_bytes AND R·I < 2^31 (flat int32 indices).
+    n_bands = max(1, int(np.ceil(n_items * n_items * 4 / band_bytes)))
+    while -(-n_items // n_bands) * n_items >= 2**31:
+        n_bands += 1
+    R = -(-n_items // n_bands)
+
+    # --- host-side degree binning (shared across bands) ---
+    light = counts <= ell_width
+    l_idx = l_val = None
+    if light.any():
+        l_first, l_counts = first[light], counts[light]
+        rows = np.repeat(np.arange(len(l_first)), l_counts)
+        flat_pos = flat_positions(l_counts)
+        take = np.repeat(l_first, l_counts) + flat_pos
+        l_idx = np.zeros((len(l_first), ell_width), np.int32)
+        l_val = np.zeros((len(l_first), ell_width), np.float32)
+        l_idx[rows, flat_pos] = ui_item[take].astype(np.int32)
+        l_val[rows, flat_pos] = ui_w[take]
+    heavy = ~light
+    h_first, h_counts = first[heavy], counts[heavy]
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def scatter_outer_band(Bb, idx_c, val_c, a0: int):
+        # [C, W, W] outer products -> flat 1-D scatter into the band. Rows
+        # outside [a0, a0+R) get an out-of-range index and mode="drop".
+        # Zero-padded ELL slots carry val 0 (harmless +0 at (0 - a0?) — their
+        # row 0 is only in band 0, where they add 0 to B[0, 0]).
+        rr = jnp.broadcast_to(idx_c[:, :, None], idx_c.shape + (idx_c.shape[1],))
+        cc = jnp.broadcast_to(idx_c[:, None, :], rr.shape)
+        v = val_c[:, :, None] * val_c[:, None, :]
+        local = rr - a0
+        flat = jnp.where((local >= 0) & (local < R), local * n_items + cc, R * n_items)
+        out = Bb.reshape(-1).at[flat.reshape(-1)].add(v.reshape(-1), mode="drop")
+        return out.reshape(Bb.shape)
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def dense_accum_band(Bb, cols, items_idx, vals, a0: int):
+        # Densify the chunk's incidence into M (flat 1-D scatter; rows padded
+        # to R·n_bands so every band slice is full-height), then
+        # band += M[a0:a0+R] @ Mᵀ[:I] on the MXU.
+        M = jnp.zeros((R * n_bands * heavy_chunk,), jnp.float32)
+        M = M.at[items_idx * heavy_chunk + cols].add(vals, mode="drop")
+        M = M.reshape(R * n_bands, heavy_chunk)
+        return Bb + jnp.dot(
+            M[a0 : a0 + R], M[:n_items].T, preferred_element_type=jnp.float32
+        )
+
+    bands = []
+    for b in range(n_bands):
+        a0 = b * R
+        Bb = jnp.zeros((R, n_items), jnp.float32)
+        if l_idx is not None:
+            for s in range(0, len(l_idx), scatter_chunk):
+                Bb = scatter_outer_band(
+                    Bb,
+                    jnp.asarray(l_idx[s : s + scatter_chunk]),
+                    jnp.asarray(l_val[s : s + scatter_chunk]),
+                    a0,
+                )
+        for s in range(0, len(h_first), heavy_chunk):
+            f_c = h_first[s : s + heavy_chunk]
+            c_c = h_counts[s : s + heavy_chunk]
+            rows = np.repeat(np.arange(len(f_c)), c_c).astype(np.int32)
+            take = np.repeat(f_c, c_c) + flat_positions(c_c)
+            Bb = dense_accum_band(
+                Bb,
+                jnp.asarray(rows),
+                jnp.asarray(ui_item[take].astype(np.int32)),
+                jnp.asarray(ui_w[take]),
+                a0,
+            )
+        bands.append(Bb.astype(dtype))
+        del Bb
+    B = jnp.concatenate(bands, axis=0)[:n_items] if len(bands) > 1 else bands[0][:n_items]
+    return B
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FastBipartite:
+    """Everything the fast forward needs: split arcs + dense 2-hop operator."""
+
+    split: BipartiteSplit
+    item_op: jax.Array  # [I, I] B_ii (f32 or bf16)
+
+    @property
+    def n_users(self) -> int:
+        return self.split.n_users
+
+    @property
+    def n_items(self) -> int:
+        return self.split.n_items
+
+
+def build_fast_bipartite(graph: BipartiteGraph, dtype=jnp.float32) -> FastBipartite:
+    split = split_graph(graph)
+    return FastBipartite(split=split, item_op=build_item_operator(split, dtype=dtype))
+
+
+def fast_get_embedding(
+    params: dict, fb: FastBipartite, num_layers: int, alpha=None
+) -> jax.Array:
+    """Alpha-weighted LightGCN embedding via the 2-SpMM factorization.
+
+    Exact restructure of reference ``get_embedding`` (``src/lightgcn.py:
+    91-99``); see module docstring for the algebra. Returns the unified
+    [n_users + n_items, D] final embedding.
+    """
+    if alpha is None:
+        alpha = jnp.full((num_layers + 1,), 1.0 / (num_layers + 1), jnp.float32)
+    E = params["embedding"]
+    n_users = fb.n_users
+    E_u, E_i = E[:n_users], E[n_users:]
+
+    # Item chain: i^0 = E_i, i^1 = Â_iu E_u, i^{l} = B_ii i^{l-2}.
+    i_seq = [E_i.astype(jnp.float32), to_items(E_u, fb.split)]
+    B = fb.item_op
+    for l in range(2, num_layers + 1):
+        prev = i_seq[l - 2]
+        nxt = jnp.dot(B, prev.astype(B.dtype), preferred_element_type=jnp.float32)
+        i_seq.append(nxt)
+
+    out_i = sum(alpha[l] * i_seq[l] for l in range(num_layers + 1))
+    S_i = sum(alpha[l] * i_seq[l - 1] for l in range(1, num_layers + 1))
+    out_u = alpha[0] * E_u.astype(jnp.float32) + to_users(S_i, fb.split)
+    return jnp.concatenate([out_u, out_i], axis=0).astype(E.dtype)

@@ -36,6 +36,7 @@ def make_train_fns(
     decay: float,
     propagate_fn: Callable = propagate_segment,
     sample_replace: bool = True,
+    embed_fn: Callable | None = None,
 ):
     """Build (train_step, run_steps) jitted functions.
 
@@ -43,10 +44,16 @@ def make_train_fns(
         -> (params, opt_state, metrics)
     run_steps(params, opt_state, graph, sampler_data, key, num_steps)
         -> (params, opt_state, mean-metrics)   # one lax.scan epoch
-    """
 
-    def loss_fn(params, graph: BipartiteGraph, users, pos, neg):
-        out = get_embedding(params, graph, cfg, propagate_fn)
+    ``embed_fn(params, graph) -> final_embedding`` overrides the layered
+    propagation (e.g. with ``ops.bipartite.fast_get_embedding`` where
+    ``graph`` is then a ``FastBipartite``).
+    """
+    if embed_fn is None:
+        embed_fn = lambda params, graph: get_embedding(params, graph, cfg, propagate_fn)
+
+    def loss_fn(params, graph, users, pos, neg):
+        out = embed_fn(params, graph)
         u, p, n = out[users], out[pos], out[neg]
         pos_scores = jnp.sum(u * p, axis=-1)
         neg_scores = jnp.sum(u * n, axis=-1)

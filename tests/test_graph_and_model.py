@@ -122,3 +122,36 @@ def test_init_params_xavier_bound():
     assert np.abs(e).max() <= bound
     # Roughly uniform: std of U(-b,b) is b/sqrt(3).
     assert abs(e.std() - bound / np.sqrt(3)) < 0.1 * bound
+
+
+def test_custom_vjp_matches_autodiff(rng):
+    """Symmetric-Â custom backward == XLA autodiff of the raw SpMM."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_ecommerce_tpu.ops.propagate import _spmm, propagate_segment
+
+    n_users, n_items = 60, 20
+    u, i, w = random_bipartite(rng, n_users, n_items, 300)
+    g = build_graph(u, i, w, n_users, n_items)
+    n = n_users + n_items
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+
+    f_custom = lambda x: jnp.vdot(propagate_segment(g, x), ct)
+    f_raw = lambda x: jnp.vdot(_spmm(g.src, g.dst, g.w_norm, n, x), ct)
+    gx_custom = jax.grad(f_custom)(x)
+    gx_raw = jax.grad(f_raw)(x)
+    np.testing.assert_allclose(np.asarray(gx_custom), np.asarray(gx_raw), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_propagate_matches(rng):
+    from gnn_ecommerce_tpu.ops.propagate import propagate_segment_chunked
+
+    n_users, n_items = 100, 30
+    u, i, w = random_bipartite(rng, n_users, n_items, 700)
+    g = build_graph(u, i, w, n_users, n_items)
+    x = jnp.asarray(rng.standard_normal((130, 16)).astype(np.float32))
+    a = np.asarray(propagate_segment(g, x))
+    for chunks in (1, 3, 8):
+        b = np.asarray(propagate_segment_chunked(g, x, chunks))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

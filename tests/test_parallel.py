@@ -1,0 +1,72 @@
+"""Sharded training on the virtual 8-device CPU mesh (SURVEY.md §4 item 3)."""
+import numpy as np
+import jax
+import optax
+import pytest
+
+from gnn_ecommerce_tpu.parallel import (
+    make_mesh,
+    mesh_factorization,
+    make_sharded_train_step,
+    shard_graph,
+    shard_params,
+)
+
+
+def test_mesh_factorization():
+    assert mesh_factorization(8) == (2, 4)
+    assert mesh_factorization(16) == (4, 4)
+    assert mesh_factorization(1) == (1, 1)
+    assert mesh_factorization(6) == (3, 2)
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    assert len(jax.devices()) == 8
+    g.dryrun_multichip(8)
+
+
+def test_sharded_step_matches_unsharded():
+    """One sharded step produces the same params as the single-device step
+    (same key => same batch => bitwise-comparable update modulo reduction
+    order)."""
+    import __graft_entry__ as g
+    from gnn_ecommerce_tpu.sampling import make_sampler_data
+    from gnn_ecommerce_tpu.data.prepare import SamplerArrays
+    from gnn_ecommerce_tpu.train import make_train_fns
+
+    graph, cfg, params, rng = g._tiny_setup(n_edges=3000, seed=7)
+    src, dst = np.asarray(graph.src), np.asarray(graph.dst)
+    m = dst < graph.n_users
+    users, first = np.unique(dst[m], return_index=True)
+    pos = src[m][first]
+    arrays = SamplerArrays(
+        users=users.astype(np.int64),
+        pos_indptr=np.arange(len(users) + 1),
+        pos_flat=pos.astype(np.int64),
+        ign_indptr=np.arange(len(users) + 1),
+        ign_flat=pos.astype(np.int64),
+    )
+    sdata = make_sampler_data(arrays, graph.n_users, graph.n_items)
+    optimizer = optax.adam(1e-2)
+    key = jax.random.key(3)
+
+    # Single-device reference step (deep-copy: the step donates its buffers).
+    copy = lambda tree: jax.tree.map(lambda x: x.copy(), tree)
+    step1, _ = make_train_fns(cfg, optimizer, batch_size=64, decay=1e-4)
+    p1, _, m1 = step1(copy(params), optimizer.init(params), graph, sdata, key)
+
+    # Sharded step over 2x4 mesh.
+    mesh = make_mesh(8)
+    with mesh:
+        sp = shard_params(copy(params), mesh)
+        so = optimizer.init(sp)
+        sg = shard_graph(graph, mesh)
+        step8 = make_sharded_train_step(cfg, optimizer, mesh, batch_size=64, decay=1e-4)
+        p8, _, m8 = step8(sp, so, sg, sdata, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["embedding"]), np.asarray(p8["embedding"]), rtol=1e-4, atol=1e-6
+    )
