@@ -1,0 +1,99 @@
+"""Training CLI (reference ``python src/train_lightgcn.py -e E -g G``,
+``src/train_lightgcn.py:165-189``).
+
+    python -m gnn_ecommerce_tpu.cli.train --synthetic -e 5
+    python -m gnn_ecommerce_tpu.cli.train --edges u_i_weight.csv -e 20
+    python -m gnn_ecommerce_tpu.cli.train --config framework.yaml
+
+No ``-g GPU`` flag: device selection is JAX's job (the single-controller
+process sees every local TPU chip; meshes are configured via the config's
+``mesh_devices``). After training, the prepared dataset artifact is saved to
+``data_dir`` (the analog of the reference persisting processed split CSVs,
+``src/train_lightgcn.py:39-41``) so infer/serve can start without redoing
+ETL.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import pandas as pd
+
+from ..data.artifacts import save_prepared
+from ..data.events import events_to_edges
+from ..data.prepare import prepare_splits, split_edges
+from ..data.synthetic import synthetic_events
+from ..train.driver import train
+from .config import FrameworkConfig, WEIGHT_SCHEMES
+
+
+def load_edges(args, cfg: FrameworkConfig) -> pd.DataFrame:
+    if args.synthetic:
+        events = synthetic_events(
+            n_users=args.synthetic_users,
+            n_items=args.synthetic_items,
+            n_events=args.synthetic_events,
+            seed=cfg.train.seed,
+        )
+        return events_to_edges(events, cfg.weights())
+    path = args.edges or cfg.edges_path
+    if path:
+        edges = pd.read_csv(path)
+        missing = {"user_id", "item_id", "weight"} - set(edges.columns)
+        if missing:
+            raise SystemExit(f"edges CSV missing columns: {sorted(missing)}")
+        return edges
+    events_path = args.events or cfg.raw_events_path
+    if events_path:
+        return events_to_edges(pd.read_csv(events_path), cfg.weights())
+    raise SystemExit("provide --edges, --events, --synthetic, or config paths")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--config", help="framework YAML config")
+    ap.add_argument("--edges", help="weighted-edge CSV (user_id,item_id,weight)")
+    ap.add_argument("--events", help="raw event CSV (runs the weight pipeline)")
+    ap.add_argument("--synthetic", action="store_true", help="synthetic dataset")
+    ap.add_argument("--synthetic-users", type=int, default=2000)
+    ap.add_argument("--synthetic-items", type=int, default=300)
+    ap.add_argument("--synthetic-events", type=int, default=30000)
+    ap.add_argument("-e", "--epochs", type=int, help="override config epochs")
+    ap.add_argument("--dim", type=int, help="override latent_dim")
+    ap.add_argument("--layers", type=int, help="override n_layers")
+    ap.add_argument("--scheme", choices=sorted(WEIGHT_SCHEMES), help="weight scheme")
+    ap.add_argument("--resume", action="store_true", help="resume from last checkpoint")
+    args = ap.parse_args(argv)
+
+    cfg = FrameworkConfig.load(args.config) if args.config else FrameworkConfig()
+    if args.epochs is not None:
+        cfg.train.epochs = args.epochs
+    if args.dim is not None:
+        cfg.train.latent_dim = args.dim
+    if args.layers is not None:
+        cfg.train.n_layers = args.layers
+    if args.scheme:
+        cfg.weight_scheme = args.scheme
+    if args.resume:
+        cfg.train.resume = True
+    cfg.train.checkpoint_dir = cfg.checkpoint_dir
+
+    edges = load_edges(args, cfg)
+    print(f"{len(edges)} weighted edges; splitting + preparing ...")
+    tr, va, te = split_edges(edges, seed=cfg.train.seed)
+    prepared = prepare_splits(tr, va, te)
+    os.makedirs(cfg.data_dir, exist_ok=True)
+    save_prepared(prepared, cfg.data_dir)
+    print(f"prepared artifact -> {cfg.data_dir}")
+
+    result = train(prepared, cfg.train)
+    print(
+        f"done: best epoch {result.best_epoch} "
+        f"val R@{cfg.train.k} {result.best_val_recall:.6f} | "
+        f"test P@{cfg.train.k} {result.test_precision:.6f} "
+        f"R@{cfg.train.k} {result.test_recall:.6f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

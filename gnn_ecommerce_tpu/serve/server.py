@@ -1,0 +1,82 @@
+"""REST serving frontend (stdlib http.server; no TorchServe).
+
+Endpoint parity with the reference's TorchServe deployment
+(``torchserve/config.properties:2-4``, ``torchserve/recommend.sh:1``):
+
+    POST /v1/models/lightgcn_recommender:predict
+        body: JSON list of relabelled user ids, e.g. ``[1189793]``
+        response: ``{"items": [[20 local item ids], ...]}`` — the same
+        payload shape the reference handler returns
+        (``torchserve/lightgcn_handler.py:94``).
+    GET  /ping                      → {"status": "Healthy"}   (TorchServe ping)
+    GET  /v1/models/lightgcn_recommender → model/config stats (management API
+        analog of TorchServe's :8081 describe endpoint).
+
+The reference runs a Java frontend + Python worker processes with a .mar
+archive; here one Python process hosts a threaded HTTP server in front of the
+TPU-resident embedding cache (requests serialize on the device call, which is
+a sub-ms matmul+topk — no worker pool needed).
+"""
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .service import RecommenderService
+
+MODEL_NAME = "lightgcn_recommender"
+
+
+def make_server(service: RecommenderService, host: str = "127.0.0.1", port: int = 8080):
+    """Build a ThreadingHTTPServer bound to (host, port); port 0 = ephemeral."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/ping":
+                self._send(200, {"status": "Healthy"})
+            elif self.path == f"/v1/models/{MODEL_NAME}":
+                self._send(200, {"model": MODEL_NAME, **service.stats()})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != f"/v1/models/{MODEL_NAME}:predict":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"null")
+                # Accept both a bare id list and {"instances": [...]}
+                # (TorchServe KFServing-style envelope).
+                if isinstance(payload, dict) and "instances" in payload:
+                    payload = payload["instances"]
+                if not isinstance(payload, list) or not payload:
+                    raise ValueError("body must be a non-empty JSON list of user ids")
+                items = service.recommend(payload)
+                self._send(200, {"items": [list(map(int, row)) for row in items]})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(service: RecommenderService, host: str = "0.0.0.0", port: int = 8080):
+    server = make_server(service, host, port)
+    print(f"serving {MODEL_NAME} on http://{host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()

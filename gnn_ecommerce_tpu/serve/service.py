@@ -1,0 +1,156 @@
+"""Embedding-cache recommender service.
+
+The reference's TorchServe handler re-runs FULL L-layer graph propagation on
+every request (``torchserve/lightgcn_handler.py:91`` calls ``recommendK``,
+which calls ``get_embedding`` — SURVEY.md §3.4 flags this). Since the graph
+and parameters are static between checkpoint refreshes, this service
+propagates ONCE at load/refresh time and answers each request with a blocked
+matmul + mask + top-K against the cached final embeddings — the request path
+never touches the graph.
+"""
+from __future__ import annotations
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.artifacts import load_prepared
+from ..data.prepare import PreparedData
+from ..eval.evaluate import recommend_users
+from ..graph.build import build_graph
+from ..models.lightgcn import LightGCNConfig, get_embedding, init_params
+from ..train.checkpoint import BEST_NAME, load_checkpoint
+
+
+class RecommenderService:
+    """Holds cached final embeddings + per-user purchased-item masks.
+
+    Parameters mirror what the reference packages into its ``.mar`` archive
+    (processed train CSV + checkpoint, ``torchserve/create_archive.sh:5-8``):
+    a prepared-data artifact directory and a checkpoint directory.
+    """
+
+    def __init__(
+        self,
+        prepared: PreparedData,
+        params: dict,
+        cfg: LightGCNConfig,
+        k: int = 20,
+        mask_mode: str = "neginf",
+    ):
+        self.prepared = prepared
+        self.cfg = cfg
+        self.k = k
+        self.mask_mode = mask_mode
+        self._lock = threading.Lock()
+        self._graph = build_graph(
+            prepared.edge_user,
+            prepared.edge_item_node,
+            prepared.edge_weight,
+            prepared.n_users,
+            prepared.n_items,
+            items_offset=True,
+        )
+        # Host-side CSR of train purchases per user (LOCAL item space), for
+        # request-time exclusion masks. Node-space sampler positives - offset.
+        s = prepared.sampler
+        self._mask_users = np.asarray(s.users)
+        self._mask_indptr = np.asarray(s.pos_indptr)
+        self._mask_items = np.asarray(s.pos_flat) - prepared.n_users
+        self.refresh(params)
+
+    @classmethod
+    def from_artifacts(
+        cls,
+        data_dir: str,
+        checkpoint_dir: str,
+        checkpoint_name: str = BEST_NAME,
+        k: int = 20,
+        mask_mode: str = "neginf",
+    ) -> "RecommenderService":
+        prepared = load_prepared(data_dir)
+        leaves, meta = load_checkpoint(checkpoint_dir, checkpoint_name)
+        hp = meta.get("hyperparams", {})
+        cfg = LightGCNConfig(
+            num_nodes=prepared.n_users + prepared.n_items,
+            embedding_dim=int(hp.get("latent_dim", 64)),
+            num_layers=int(hp.get("n_layers", 3)),
+        )
+        params = init_params(jax.random.key(0), cfg)
+        # Checkpoint leaves are (params, opt_state); params' embedding is the
+        # first leaf (single-table model).
+        params = {"embedding": jnp.asarray(leaves[0])}
+        assert params["embedding"].shape == (cfg.num_nodes, cfg.embedding_dim), (
+            f"checkpoint embedding {leaves[0].shape} != config "
+            f"{(cfg.num_nodes, cfg.embedding_dim)}"
+        )
+        svc = cls(prepared, params, cfg, k=k, mask_mode=mask_mode)
+        svc.checkpoint_meta = meta
+        return svc
+
+    def refresh(self, params: dict) -> float:
+        """(Re)propagate and swap the cached final embeddings; returns secs."""
+        t0 = time.perf_counter()
+        emb = get_embedding(params, self._graph, self.cfg)
+        emb.block_until_ready()
+        with self._lock:
+            self.final_emb = emb
+        self.last_refresh_s = time.perf_counter() - t0
+        return self.last_refresh_s
+
+    def _request_mask(self, user_ids: np.ndarray) -> np.ndarray:
+        """Per-request [B, M] exclusion mask (-1 padded, local item space)."""
+        slots = np.searchsorted(self._mask_users, user_ids)
+        slots = np.clip(slots, 0, len(self._mask_users) - 1)
+        known = self._mask_users[slots] == user_ids
+        lens = np.where(
+            known, self._mask_indptr[slots + 1] - self._mask_indptr[slots], 0
+        )
+        width = max(1, int(lens.max(initial=0)))
+        out = np.full((len(user_ids), width), -1, dtype=np.int32)
+        rows = np.repeat(np.arange(len(user_ids)), lens)
+        starts = np.repeat(self._mask_indptr[slots], lens)
+        flat = np.arange(int(lens.sum()), dtype=np.int64)
+        cols = flat - np.repeat(np.cumsum(np.append(0, lens[:-1])), lens)
+        out[rows, cols] = self._mask_items[starts + cols]
+        return out
+
+    def recommend(self, user_ids, k: int | None = None) -> np.ndarray:
+        """Top-K LOCAL item ids per requested (relabelled) user id.
+
+        Parity with the reference handler's ``inference`` → ``recommendK``
+        flow (``torchserve/lightgcn_handler.py:73-96``) minus the per-request
+        propagation.
+        """
+        k = k or self.k
+        ids = np.asarray(user_ids, dtype=np.int64)
+        if ids.ndim != 1:
+            raise ValueError(f"user_ids must be 1-D, got shape {ids.shape}")
+        if ((ids < 0) | (ids >= self.prepared.n_users)).any():
+            bad = ids[(ids < 0) | (ids >= self.prepared.n_users)]
+            raise ValueError(f"user ids out of range [0, {self.prepared.n_users}): {bad[:5]}")
+        mask = self._request_mask(ids)
+        with self._lock:
+            emb = self.final_emb
+        return recommend_users(
+            emb,
+            jnp.asarray(ids, jnp.int32),
+            jnp.asarray(mask),
+            self.prepared.n_users,
+            k=k,
+            mask_mode=self.mask_mode,
+        )
+
+    def stats(self) -> dict:
+        return {
+            "n_users": int(self.prepared.n_users),
+            "n_items": int(self.prepared.n_items),
+            "num_edges": int(len(self.prepared.edge_user)),
+            "embedding_dim": int(self.cfg.embedding_dim),
+            "num_layers": int(self.cfg.num_layers),
+            "k": self.k,
+            "last_refresh_s": round(self.last_refresh_s, 4),
+        }

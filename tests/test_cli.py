@@ -1,0 +1,83 @@
+"""CLI end-to-end: preprocess -> train -> infer on a tiny synthetic dataset.
+
+Runs the module entry points in-process (argv injection) on the CPU backend;
+checks artifacts, checkpoints, metrics CSVs, and config loading.
+"""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gnn_ecommerce_tpu.cli import infer as infer_cli
+from gnn_ecommerce_tpu.cli import preprocess as preprocess_cli
+from gnn_ecommerce_tpu.cli import train as train_cli
+from gnn_ecommerce_tpu.cli.config import FrameworkConfig
+from gnn_ecommerce_tpu.data import synthetic_events
+
+
+def test_preprocess_cli(tmp_path):
+    events_path = tmp_path / "events.csv"
+    synthetic_events(n_users=50, n_items=20, n_events=500, seed=1).to_csv(
+        events_path, index=False
+    )
+    out = tmp_path / "edges.csv"
+    preprocess_cli.main(["--events", str(events_path), "-o", str(out), "--scheme", "v2"])
+    edges = pd.read_csv(out)
+    assert set(edges.columns) == {"user_id", "item_id", "weight"}
+    assert (edges["weight"] <= 1.0).all()
+    assert (edges["weight"] >= min(0.15, 0.5)).all()  # v2 view weight floor
+
+
+def test_train_infer_cli_e2e(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    train_cli.main(
+        [
+            "--synthetic",
+            "--synthetic-users", "200",
+            "--synthetic-items", "50",
+            "--synthetic-events", "4000",
+            "-e", "2",
+            "--dim", "16",
+            "--layers", "2",
+        ]
+    )
+    assert os.path.exists("data/prepared/manifest.json")
+    assert os.path.exists("model-checkpoints/LightGCN_best/checkpoint.npz")
+    meta = json.load(open("model-checkpoints/LightGCN_best/meta.json"))
+    assert meta["hyperparams"]["latent_dim"] == 16
+    log_lines = [
+        json.loads(l) for l in open("model-checkpoints/train_log.jsonl")
+    ]
+    epochs = [l for l in log_lines if "epoch" in l]
+    assert len(epochs) == 2
+
+    infer_cli.main(
+        ["-d", "data/prepared", "-c", "model-checkpoints", "--out", "recs", "-k", "10"]
+    )
+    metrics = pd.read_csv("recs/metrics_K10.csv")
+    assert {"user_id_idx", "top_rlvnt_itm", "recall", "precision"} <= set(metrics.columns)
+    assert len(metrics) > 0
+    hit_df = pd.read_csv("recs/hit_df.csv")
+    assert {"user_id_idx", "path_length", "longer_than_3"} <= set(hit_df.columns)
+
+
+def test_framework_config_yaml_roundtrip(tmp_path):
+    cfg = FrameworkConfig(weight_scheme="v2")
+    cfg.train.epochs = 7
+    path = tmp_path / "fw.yaml"
+    cfg.dump(str(path))
+    loaded = FrameworkConfig.load(str(path))
+    assert loaded.train.epochs == 7
+    assert loaded.weights()["view"] == 0.15
+
+
+def test_framework_config_rejects_unknown_keys(tmp_path):
+    path = tmp_path / "bad.yaml"
+    path.write_text("weight_scheme: v1\nnot_a_key: 3\n")
+    with pytest.raises(ValueError, match="unknown config keys"):
+        FrameworkConfig.load(str(path))
+    path.write_text("train:\n  not_a_field: 1\n")
+    with pytest.raises(ValueError, match="unknown train config keys"):
+        FrameworkConfig.load(str(path))

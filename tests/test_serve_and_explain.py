@@ -1,0 +1,173 @@
+"""Serving (artifact roundtrip, service, REST server) and explainability."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gnn_ecommerce_tpu.data import events_to_edges, prepare_splits, split_edges, synthetic_events
+from gnn_ecommerce_tpu.data.artifacts import load_prepared, save_prepared
+from gnn_ecommerce_tpu.data.events import EVENT_TYPE_WEIGHTS_V1
+from gnn_ecommerce_tpu.explain.paths import build_adjacency, bfs_paths, hit_paths_frame
+
+
+@pytest.fixture(scope="module")
+def prepared():
+    events = synthetic_events(n_users=300, n_items=60, n_events=6000, seed=3)
+    edges = events_to_edges(events, EVENT_TYPE_WEIGHTS_V1)
+    return prepare_splits(*split_edges(edges, seed=0))
+
+
+def test_artifact_roundtrip(prepared, tmp_path):
+    save_prepared(prepared, str(tmp_path))
+    loaded = load_prepared(str(tmp_path))
+    assert loaded.n_users == prepared.n_users
+    assert loaded.n_items == prepared.n_items
+    np.testing.assert_array_equal(loaded.edge_user, prepared.edge_user)
+    np.testing.assert_array_equal(loaded.edge_weight, prepared.edge_weight)
+    np.testing.assert_array_equal(loaded.sampler.pos_flat, prepared.sampler.pos_flat)
+    np.testing.assert_array_equal(loaded.val.truth.values, prepared.val.truth.values)
+    np.testing.assert_array_equal(
+        loaded.test.train_mask.indptr, prepared.test.train_mask.indptr
+    )
+
+
+def test_artifact_digest_check(prepared, tmp_path):
+    save_prepared(prepared, str(tmp_path))
+    arrays = tmp_path / "prepared.npz"
+    data = arrays.read_bytes()
+    arrays.write_bytes(data[:-1] + bytes([data[-1] ^ 1]))
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        load_prepared(str(tmp_path))
+
+
+@pytest.fixture(scope="module")
+def service(prepared):
+    import jax
+    from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+    from gnn_ecommerce_tpu.serve import RecommenderService
+
+    cfg = LightGCNConfig(
+        num_nodes=prepared.n_users + prepared.n_items, embedding_dim=16, num_layers=2
+    )
+    params = init_params(jax.random.key(0), cfg)
+    return RecommenderService(prepared, params, cfg, k=10)
+
+
+def test_service_recommend_shape_and_mask(service, prepared):
+    users = np.asarray(prepared.sampler.users[:5])
+    recs = service.recommend(users)
+    assert recs.shape == (5, 10)
+    # Train purchases must never be recommended (neginf masking).
+    for row, u in zip(recs, users):
+        slot = np.searchsorted(prepared.sampler.users, u)
+        purchased = set(
+            (prepared.sampler.pos_flat[
+                prepared.sampler.pos_indptr[slot] : prepared.sampler.pos_indptr[slot + 1]
+            ] - prepared.n_users).tolist()
+        )
+        assert not (set(row.tolist()) & purchased)
+
+
+def test_service_rejects_bad_users(service, prepared):
+    with pytest.raises(ValueError, match="out of range"):
+        service.recommend([prepared.n_users + 5])
+
+
+def test_rest_server_roundtrip(service):
+    from gnn_ecommerce_tpu.serve import make_server
+
+    server = make_server(service, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/ping") as r:
+            assert json.load(r)["status"] == "Healthy"
+        with urllib.request.urlopen(f"{base}/v1/models/lightgcn_recommender") as r:
+            stats = json.load(r)
+            assert stats["n_users"] == service.prepared.n_users
+        req = urllib.request.Request(
+            f"{base}/v1/models/lightgcn_recommender:predict",
+            data=json.dumps([0, 1]).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            items = json.load(r)["items"]
+            assert len(items) == 2 and len(items[0]) == 10
+        # Malformed body -> 400, not a crash.
+        bad = urllib.request.Request(
+            f"{base}/v1/models/lightgcn_recommender:predict", data=b"{}"
+        )
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+
+
+# --- explainability ---
+
+
+def test_bfs_paths_simple():
+    # users 0,1; items -> nodes 2,3. Edges: u0-i2, u1-i2, u1-i3.
+    adj = build_adjacency(
+        np.array([0, 1, 1]), np.array([2, 2, 3]), n_users=2, n_items=2
+    )
+    [(d1, p1), (d2, p2)] = bfs_paths(adj, 0, np.array([2, 3]))
+    assert d1 == 1 and p1 == [0, 2]
+    assert d2 == 3 and p2 == [0, 2, 1, 3]
+
+
+def test_bfs_unreachable():
+    # Disconnected: u0-i2, u1-i3.
+    adj = build_adjacency(np.array([0, 1]), np.array([2, 3]), 2, 2)
+    [(d, p)] = bfs_paths(adj, 0, np.array([3]))
+    assert d == -1 and p is None
+
+
+def test_hit_paths_frame_flags():
+    adj = build_adjacency(np.array([0, 1, 1]), np.array([2, 2, 3]), 2, 2)
+    # user 0 recommended local items [0, 1], truth = {0, 1}: item node 2 is
+    # 1 hop, item node 3 is 3 hops (not longer than 3), both hits.
+    df = hit_paths_frame(
+        adj,
+        user_ids=np.array([0]),
+        topk_idx=np.array([[0, 1]]),
+        truth_sets=[{0, 1}],
+    )
+    assert len(df) == 2
+    assert df["path_length"].tolist() == [1, 3]
+    assert df["longer_than_3"].tolist() == [False, False]
+
+
+def test_hit_paths_matches_networkx(prepared):
+    networkx = pytest.importorskip("networkx")
+    adj = build_adjacency(
+        prepared.edge_user, prepared.edge_item_node, prepared.n_users, prepared.n_items
+    )
+    g = networkx.Graph()
+    g.add_edges_from(zip(prepared.edge_user.tolist(), prepared.edge_item_node.tolist()))
+    rng = np.random.default_rng(0)
+    sources = rng.choice(prepared.sampler.users, 5, replace=False)
+    targets = rng.choice(
+        np.unique(prepared.edge_item_node), 8, replace=False
+    )
+    for s in sources:
+        ours = bfs_paths(adj, int(s), targets, cutoff=10)
+        for t, (d, path) in zip(targets, ours):
+            if networkx.has_path(g, int(s), int(t)):
+                nx_d = networkx.shortest_path_length(g, int(s), int(t))
+                if nx_d <= 10:
+                    assert d == nx_d, (s, t)
+                    assert path[0] == s and path[-1] == t
+                    # Path must walk real edges.
+                    for a, b in zip(path[:-1], path[1:]):
+                        assert g.has_edge(a, b)
+            else:
+                assert d == -1
