@@ -19,6 +19,7 @@ positive for sampling/eval, matching the reference.
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 EVENT_TYPE_WEIGHTS_V1 = {"view": 0.01, "cart": 0.1, "remove_from_cart": -0.09, "purchase": 1.0}
@@ -36,15 +37,35 @@ def raw_edge_weight(events: pd.DataFrame, type_weights: dict) -> pd.DataFrame:
         columns ``user_id``, ``item_id``, ``weight``, ``purchased``.
     """
     view = type_weights["view"]
-    df = events[["user_id", "item_id"]].copy()
-    df["weight"] = events["event_type"].map(type_weights)
-    if df["weight"].isna().any():
-        unknown = sorted(set(events.loc[df["weight"].isna(), "event_type"]))
+    weights = events["event_type"].map(type_weights)
+    if weights.isna().any():
+        unknown = sorted(set(events.loc[weights.isna(), "event_type"]))
         raise ValueError(f"unknown event types: {unknown}")
-    df["purchased"] = events["event_type"].eq("purchase")
-    agg = df.groupby(["user_id", "item_id"], sort=True).agg(
-        weight=("weight", "sum"), purchased=("purchased", "any")
-    ).reset_index()
+    purchased = events["event_type"].eq("purchase")
+
+    # Factorize raw ids to dense codes, aggregate with the native counting-
+    # sort groupby (numpy lexsort fallback inside), map codes back. Same
+    # result as pandas groupby(sort=True) since factorize uniques are sorted.
+    from ..native import groupby_edges
+
+    u_codes, u_uniques = pd.factorize(events["user_id"], sort=True)
+    i_codes, i_uniques = pd.factorize(events["item_id"], sort=True)
+    gu, gi, gw, gp = groupby_edges(
+        u_codes.astype(np.int64),
+        i_codes.astype(np.int64),
+        weights.to_numpy(np.float64),
+        purchased.to_numpy(np.uint8),
+        len(u_uniques),
+        len(i_uniques),
+    )
+    agg = pd.DataFrame(
+        {
+            "user_id": np.asarray(u_uniques)[gu],
+            "item_id": np.asarray(i_uniques)[gi],
+            "weight": gw,
+            "purchased": gp.astype(bool),
+        }
+    )
     agg.loc[agg["weight"] < view, "weight"] = view
     return agg
 

@@ -114,23 +114,50 @@ def hit_paths_frame(
 
     Returns a frame with columns user_id_idx, item_id_idx (local),
     path_length, path (node-space ids), longer_than_{flag_hops}.
+
+    Uses the multithreaded native BFS (``native.bfs_batch``) when the C++
+    library is available, the pure-python frontier BFS otherwise.
     """
-    rows = []
+    per_source: list[tuple[int, list[int]]] = []
     for u, recs, truth in zip(user_ids, topk_idx, truth_sets):
         hits = sorted(set(int(r) for r in recs) & truth)
-        if not hits:
-            continue
-        targets = np.asarray(hits, dtype=np.int64) + adj.n_users
-        for item, (d, path) in zip(hits, bfs_paths(adj, int(u), targets, cutoff)):
-            rows.append(
-                {
-                    "user_id_idx": int(u),
-                    "item_id_idx": int(item),
-                    "path_length": d,
-                    "path": path,
-                    f"longer_than_{flag_hops}": bool(d < 0 or d > flag_hops),
-                }
-            )
+        if hits:
+            per_source.append((int(u), hits))
+
+    results = []  # (user, local item, dist, path)
+    from .. import native
+
+    if native.available() and per_source:
+        sources = np.array([u for u, _ in per_source], dtype=np.int64)
+        t_indptr = np.cumsum([0] + [len(h) for _, h in per_source]).astype(np.int64)
+        targets = np.concatenate(
+            [np.asarray(h, dtype=np.int64) + adj.n_users for _, h in per_source]
+        )
+        dist, paths = native.bfs_batch(
+            adj.indptr, adj.indices, sources, t_indptr, targets, cutoff
+        )
+        for s_idx, (u, hits) in enumerate(per_source):
+            for j, item in enumerate(hits):
+                t = t_indptr[s_idx] + j
+                d = int(dist[t])
+                path = paths[t, : d + 1].tolist() if d >= 0 else None
+                results.append((u, item, d, path))
+    else:
+        for u, hits in per_source:
+            targets = np.asarray(hits, dtype=np.int64) + adj.n_users
+            for item, (d, path) in zip(hits, bfs_paths(adj, u, targets, cutoff)):
+                results.append((u, item, d, path))
+
+    rows = [
+        {
+            "user_id_idx": u,
+            "item_id_idx": item,
+            "path_length": d,
+            "path": path,
+            f"longer_than_{flag_hops}": bool(d < 0 or d > flag_hops),
+        }
+        for u, item, d, path in results
+    ]
     return pd.DataFrame(
         rows,
         columns=[

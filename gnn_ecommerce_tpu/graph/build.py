@@ -134,13 +134,13 @@ def build_graph(
 
     # CSR over destinations: stable sort keeps the reference arc order within
     # a row (users-first block then items-first block), which keeps segment
-    # sums bit-deterministic across rebuilds.
-    order = np.argsort(dst, kind="stable")
+    # sums bit-deterministic across rebuilds. Native O(E+N) counting sort
+    # when the C++ library is available, np.argsort otherwise.
+    from ..native import coo_sort_by_dst
+
+    order, indptr = coo_sort_by_dst(dst, num_nodes)
     src, dst = src[order], dst[order]
     w, w_norm = w[order], w_norm[order]
-    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
-    np.add.at(indptr, dst + 1, 1)
-    indptr = np.cumsum(indptr)
 
     arrays = dict(
         src=src.astype(np.int32),

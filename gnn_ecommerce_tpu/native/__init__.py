@@ -1,0 +1,171 @@
+"""ctypes bindings for the native host-side graph kernels.
+
+Compiles ``graph_core.cpp`` on first use into the package directory (cached
+by source hash; rebuilds automatically when the source changes) and exposes
+numpy-friendly wrappers. Every entry point has a pure-numpy fallback used when
+no C++ toolchain is available, so the framework never hard-requires the
+native library — it is a performance layer (SURVEY.md §2.2: native where the
+reference leans on native extensions).
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "graph_core.cpp")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _source_tag() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def _load():
+    """Compile (if needed) and load the shared library; None on failure."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        so_path = os.path.join(_DIR, f"libgraph_core-{_source_tag()}.so")
+        try:
+            if not os.path.exists(so_path):
+                tmp = so_path + f".tmp{os.getpid()}"
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        "-pthread", _SRC, "-o", tmp,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, so_path)
+            lib = ctypes.CDLL(so_path)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i64 = ctypes.c_int64
+
+        lib.coo_sort_by_dst.argtypes = [i64p, i64, i64, i64p, i64p]
+        lib.coo_sort_by_dst.restype = None
+        lib.groupby_edges.argtypes = [
+            i64p, i64p, f64p, u8p, i64, i64, i64, i64p, i64p, f64p, u8p,
+        ]
+        lib.groupby_edges.restype = i64
+        lib.bfs_batch.argtypes = [
+            i64p, i64p, i64, i64p, i64, i64p, i64p, i64, i64, i64p, i64p,
+        ]
+        lib.bfs_batch.restype = None
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def coo_sort_by_dst(dst: np.ndarray, num_nodes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Stable sort permutation over destinations + CSR indptr.
+
+    Returns (order [E], indptr [num_nodes+1]); ``dst[order]`` is ascending.
+    O(E + N) counting sort natively; ``np.argsort(kind="stable")`` fallback.
+    """
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    lib = _load()
+    if lib is None:
+        order = np.argsort(dst, kind="stable")
+        indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.add.at(indptr, dst + 1, 1)
+        return order, np.cumsum(indptr)
+    order = np.empty(len(dst), dtype=np.int64)
+    indptr = np.empty(num_nodes + 1, dtype=np.int64)
+    lib.coo_sort_by_dst(dst, len(dst), num_nodes, order, indptr)
+    return order, indptr
+
+
+def groupby_edges(
+    u_codes: np.ndarray,
+    i_codes: np.ndarray,
+    weights: np.ndarray,
+    purchased: np.ndarray,
+    n_u: int,
+    n_i: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Aggregate (user, item) pairs: (sum weight, any purchased), sorted by
+    (user, item). Inputs are factorized integer codes."""
+    u_codes = np.ascontiguousarray(u_codes, dtype=np.int64)
+    i_codes = np.ascontiguousarray(i_codes, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    purchased = np.ascontiguousarray(purchased, dtype=np.uint8)
+    n = len(u_codes)
+    lib = _load()
+    if lib is None:
+        order = np.lexsort((i_codes, u_codes))
+        us, is_, ws, ps = u_codes[order], i_codes[order], weights[order], purchased[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        np.not_equal(us[1:], us[:-1], out=new[1:])
+        new[1:] |= is_[1:] != is_[:-1]
+        group = np.cumsum(new) - 1
+        m = int(group[-1]) + 1 if n else 0
+        out_w = np.zeros(m)
+        np.add.at(out_w, group, ws)
+        out_p = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(out_p, group, ps)
+        return us[new], is_[new], out_w, out_p
+    out_u = np.empty(n, dtype=np.int64)
+    out_i = np.empty(n, dtype=np.int64)
+    out_w = np.empty(n, dtype=np.float64)
+    out_p = np.empty(n, dtype=np.uint8)
+    m = lib.groupby_edges(
+        u_codes, i_codes, weights, purchased, n, n_u, n_i, out_u, out_i, out_w, out_p
+    )
+    return out_u[:m].copy(), out_i[:m].copy(), out_w[:m].copy(), out_p[:m].copy()
+
+
+def bfs_batch(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    sources: np.ndarray,
+    target_indptr: np.ndarray,
+    targets: np.ndarray,
+    cutoff: int = 8,
+    n_threads: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multithreaded per-source BFS (native only; callers fall back to the
+    pure-python BFS in ``explain.paths`` when unavailable).
+
+    Returns (dist [n_targets], paths [n_targets, cutoff+1]); dist -1 means
+    unreachable within cutoff, path rows hold dist+1 valid node ids.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native graph_core unavailable")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    sources = np.ascontiguousarray(sources, dtype=np.int64)
+    target_indptr = np.ascontiguousarray(target_indptr, dtype=np.int64)
+    targets = np.ascontiguousarray(targets, dtype=np.int64)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    dist = np.empty(len(targets), dtype=np.int64)
+    paths = np.full((len(targets), cutoff + 1), -1, dtype=np.int64)
+    lib.bfs_batch(
+        indptr, indices, len(indptr) - 1, sources, len(sources),
+        target_indptr, targets, cutoff, n_threads, dist, paths,
+    )
+    return dist, paths

@@ -1,0 +1,175 @@
+// Native host-side graph kernels (C ABI, loaded via ctypes).
+//
+// The reference delegates its native work to torch_scatter/torch_sparse CUDA
+// extensions (reference requirements.txt:11-12) and leaves host-side ETL to
+// single-threaded pandas. On TPU the device-side aggregation lives in
+// XLA/Pallas; what remains hot on the HOST is graph assembly and
+// explainability:
+//
+//   coo_sort_by_dst   stable counting sort of arc permutation (replaces
+//                     np.argsort O(E log E) in graph build; O(E + N))
+//   groupby_edges     (user,item)->sum(weight),any(purchased) aggregation on
+//                     pre-factorized id codes (replaces pandas groupby in the
+//                     event->edge-weight pipeline)
+//   bfs_batch         multithreaded per-source BFS with parent extraction for
+//                     shortest-path explainability (replaces per-pair
+//                     networkx calls, reference src/inference_lightgcn.py:85-119)
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread graph_core.cpp -o libgraph_core.so
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Stable counting sort: fills order[0..n) with a permutation such that
+// dst[order] is ascending and equal keys keep input order.
+void coo_sort_by_dst(const int64_t* dst, int64_t n, int64_t num_nodes,
+                     int64_t* order, int64_t* indptr /* [num_nodes+1] */) {
+  std::vector<int64_t> count(num_nodes + 1, 0);
+  for (int64_t e = 0; e < n; ++e) count[dst[e] + 1]++;
+  for (int64_t v = 0; v < num_nodes; ++v) count[v + 1] += count[v];
+  std::memcpy(indptr, count.data(), (num_nodes + 1) * sizeof(int64_t));
+  std::vector<int64_t> cursor(count.begin(), count.end() - 1);
+  for (int64_t e = 0; e < n; ++e) order[cursor[dst[e]]++] = e;
+}
+
+// Aggregate (u, i) pairs: weight sums and purchased-any, emitted in
+// lexicographic (u, i) order. u in [0, n_u), i in [0, n_i) (factorized
+// codes). Returns the number of unique pairs; out arrays must have
+// capacity n (worst case all pairs unique).
+int64_t groupby_edges(const int64_t* u, const int64_t* i, const double* w,
+                      const uint8_t* purchased, int64_t n, int64_t n_u,
+                      int64_t n_i, int64_t* out_u, int64_t* out_i,
+                      double* out_w, uint8_t* out_p) {
+  // Two-pass stable counting sort on (i, then u) -> (u, i) lexicographic.
+  std::vector<int64_t> tmp(n), order(n);
+  {
+    std::vector<int64_t> count(n_i + 1, 0);
+    for (int64_t e = 0; e < n; ++e) count[i[e] + 1]++;
+    for (int64_t v = 0; v < n_i; ++v) count[v + 1] += count[v];
+    for (int64_t e = 0; e < n; ++e) tmp[count[i[e]]++] = e;
+  }
+  {
+    std::vector<int64_t> count(n_u + 1, 0);
+    for (int64_t e = 0; e < n; ++e) count[u[e] + 1]++;
+    for (int64_t v = 0; v < n_u; ++v) count[v + 1] += count[v];
+    for (int64_t k = 0; k < n; ++k) order[count[u[tmp[k]]]++] = tmp[k];
+  }
+  int64_t m = -1;
+  int64_t last_u = -1, last_i = -1;
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t e = order[k];
+    if (u[e] != last_u || i[e] != last_i) {
+      ++m;
+      last_u = u[e];
+      last_i = i[e];
+      out_u[m] = last_u;
+      out_i[m] = last_i;
+      out_w[m] = 0.0;
+      out_p[m] = 0;
+    }
+    out_w[m] += w[e];
+    out_p[m] |= purchased[e];
+  }
+  return m + 1;
+}
+
+// Batched BFS over an undirected CSR graph. For each source s (with targets
+// targets[t_indptr[s]..t_indptr[s+1]]), run one frontier BFS up to `cutoff`
+// hops, then emit per target: distance (or -1) and the path node sequence.
+//
+// Outputs, indexed by the target's global position t:
+//   dist_out[t]                      hop count or -1
+//   path_out[t*(cutoff+1) .. ]       node ids, path_len = dist+1 entries
+//
+// Threaded over sources with an atomic work queue; each worker owns
+// dist/parent arrays of size N (re-initialized per source via an epoch
+// stamp, so no O(N) clear between sources).
+void bfs_batch(const int64_t* indptr, const int64_t* indices, int64_t n_nodes,
+               const int64_t* sources, int64_t n_sources,
+               const int64_t* t_indptr, const int64_t* targets,
+               int64_t cutoff, int64_t n_threads, int64_t* dist_out,
+               int64_t* path_out) {
+  std::atomic<int64_t> next{0};
+  if (n_threads <= 0) n_threads = 1;
+
+  auto worker = [&]() {
+    std::vector<int64_t> seen_epoch(n_nodes, -1);
+    std::vector<int64_t> dist(n_nodes), parent(n_nodes);
+    std::vector<int64_t> frontier, next_frontier;
+    int64_t epoch = 0;
+
+    for (;;) {
+      const int64_t s_idx = next.fetch_add(1);
+      if (s_idx >= n_sources) break;
+      const int64_t s = sources[s_idx];
+      const int64_t t_lo = t_indptr[s_idx], t_hi = t_indptr[s_idx + 1];
+      if (t_lo == t_hi) continue;
+
+      int64_t remaining = 0;
+      for (int64_t t = t_lo; t < t_hi; ++t)
+        if (targets[t] != s) ++remaining;
+
+      ++epoch;
+      seen_epoch[s] = epoch;
+      dist[s] = 0;
+      parent[s] = -1;
+      frontier.clear();
+      frontier.push_back(s);
+
+      for (int64_t d = 0; d < cutoff && remaining > 0 && !frontier.empty();
+           ++d) {
+        next_frontier.clear();
+        for (const int64_t v : frontier) {
+          for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+            const int64_t nb = indices[p];
+            if (seen_epoch[nb] == epoch) continue;
+            seen_epoch[nb] = epoch;
+            dist[nb] = d + 1;
+            parent[nb] = v;
+            next_frontier.push_back(nb);
+          }
+        }
+        frontier.swap(next_frontier);
+        //
+
+        for (int64_t t = t_lo; t < t_hi; ++t) {
+          const int64_t tgt = targets[t];
+          if (tgt != s && seen_epoch[tgt] == epoch && dist[tgt] == d + 1)
+            --remaining;
+        }
+      }
+
+      for (int64_t t = t_lo; t < t_hi; ++t) {
+        const int64_t tgt = targets[t];
+        int64_t* path = path_out + t * (cutoff + 1);
+        if (tgt == s) {
+          dist_out[t] = 0;
+          path[0] = s;
+          continue;
+        }
+        if (seen_epoch[tgt] != epoch) {
+          dist_out[t] = -1;
+          continue;
+        }
+        const int64_t d = dist[tgt];
+        dist_out[t] = d;
+        int64_t v = tgt;
+        for (int64_t k = d; k >= 0; --k) {
+          path[k] = v;
+          v = parent[v];
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  for (int64_t k = 0; k < n_threads; ++k) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -1,0 +1,114 @@
+"""Native C++ graph kernels vs numpy/pandas/networkx oracles."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from gnn_ecommerce_tpu import native
+
+
+requires_native = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain"
+)
+
+
+def test_fallbacks_work_without_native(monkeypatch):
+    # Force the fallback paths regardless of toolchain availability.
+    monkeypatch.setattr(native, "_load", lambda: None)
+    dst = np.array([3, 1, 1, 0, 3])
+    order, indptr = native.coo_sort_by_dst(dst, 4)
+    assert dst[order].tolist() == [0, 1, 1, 3, 3]
+    assert indptr.tolist() == [0, 1, 3, 3, 5]
+    gu, gi, gw, gp = native.groupby_edges(
+        np.array([1, 0, 1, 1]), np.array([2, 0, 2, 1]),
+        np.array([0.5, 1.0, 0.25, 2.0]), np.array([0, 1, 1, 0], np.uint8), 2, 3,
+    )
+    assert gu.tolist() == [0, 1, 1]
+    assert gi.tolist() == [0, 1, 2]
+    np.testing.assert_allclose(gw, [1.0, 2.0, 0.75])
+    assert gp.tolist() == [1, 0, 1]
+
+
+@requires_native
+def test_native_sort_matches_argsort(rng):
+    dst = rng.integers(0, 500, 20000)
+    order, indptr = native.coo_sort_by_dst(dst, 500)
+    expect = np.argsort(dst, kind="stable")
+    np.testing.assert_array_equal(order, expect)
+    counts = np.bincount(dst, minlength=500)
+    np.testing.assert_array_equal(np.diff(indptr), counts)
+
+
+@requires_native
+def test_native_groupby_matches_pandas(rng):
+    n = 5000
+    u = rng.integers(0, 120, n)
+    i = rng.integers(0, 80, n)
+    w = rng.uniform(-1, 1, n)
+    p = (rng.random(n) < 0.1).astype(np.uint8)
+    gu, gi, gw, gp = native.groupby_edges(u, i, w, p, 120, 80)
+    oracle = (
+        pd.DataFrame({"u": u, "i": i, "w": w, "p": p.astype(bool)})
+        .groupby(["u", "i"], sort=True)
+        .agg(w=("w", "sum"), p=("p", "any"))
+        .reset_index()
+    )
+    np.testing.assert_array_equal(gu, oracle["u"])
+    np.testing.assert_array_equal(gi, oracle["i"])
+    np.testing.assert_allclose(gw, oracle["w"], rtol=1e-12)
+    np.testing.assert_array_equal(gp.astype(bool), oracle["p"])
+
+
+@requires_native
+def test_native_bfs_matches_python(rng):
+    from gnn_ecommerce_tpu.explain.paths import build_adjacency, bfs_paths
+
+    n_users, n_items = 150, 40
+    e_u = rng.integers(0, n_users, 600)
+    e_i = rng.integers(0, n_items, 600) + n_users
+    adj = build_adjacency(e_u, e_i, n_users, n_items)
+    sources = rng.choice(np.unique(e_u), 12, replace=False).astype(np.int64)
+    t_lists = [
+        rng.choice(np.unique(e_i), 5, replace=False).astype(np.int64)
+        for _ in sources
+    ]
+    t_indptr = np.cumsum([0] + [len(t) for t in t_lists]).astype(np.int64)
+    targets = np.concatenate(t_lists)
+    dist, paths = native.bfs_batch(
+        adj.indptr, adj.indices, sources, t_indptr, targets, cutoff=6
+    )
+    for s_idx, s in enumerate(sources):
+        expect = bfs_paths(adj, int(s), t_lists[s_idx], cutoff=6)
+        for j, (ed, ep) in enumerate(expect):
+            t = t_indptr[s_idx] + j
+            assert dist[t] == ed, (s, t_lists[s_idx][j])
+            if ed >= 0:
+                got = paths[t, : ed + 1].tolist()
+                # Path endpoints + length must match; interior may differ
+                # (any shortest path is valid) but must walk real edges.
+                assert got[0] == s and got[-1] == t_lists[s_idx][j]
+                assert len(got) == len(ep)
+                for a, b in zip(got[:-1], got[1:]):
+                    row = adj.indices[adj.indptr[a] : adj.indptr[a + 1]]
+                    assert b in row
+
+
+@requires_native
+def test_events_pipeline_native_equals_pandas_oracle(rng):
+    from gnn_ecommerce_tpu.data.events import EVENT_TYPE_WEIGHTS_V1, raw_edge_weight
+    from gnn_ecommerce_tpu.data.synthetic import synthetic_events
+
+    events = synthetic_events(n_users=100, n_items=40, n_events=3000, seed=9)
+    got = raw_edge_weight(events, EVENT_TYPE_WEIGHTS_V1)
+    view = EVENT_TYPE_WEIGHTS_V1["view"]
+    df = events[["user_id", "item_id"]].copy()
+    df["weight"] = events["event_type"].map(EVENT_TYPE_WEIGHTS_V1)
+    df["purchased"] = events["event_type"].eq("purchase")
+    oracle = (
+        df.groupby(["user_id", "item_id"], sort=True)
+        .agg(weight=("weight", "sum"), purchased=("purchased", "any"))
+        .reset_index()
+    )
+    oracle.loc[oracle["weight"] < view, "weight"] = view
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), oracle, check_dtype=False, atol=1e-12
+    )
