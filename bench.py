@@ -105,18 +105,9 @@ def main():
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     graph, (u, i, w) = build_synthetic_graph()
     cfg = LightGCNConfig(num_nodes=graph.num_nodes, embedding_dim=DIM, num_layers=LAYERS)
-
-    # --- one-time: dense item-item 2-hop operator (static graph) ---
-    log("building B_ii item operator (one-time per graph) ...")
-    t0 = time.perf_counter()
-    fb = build_fast_bipartite(graph, dtype=jnp.bfloat16)
-    jax.block_until_ready(fb.item_op)
-    log(f"B_ii built in {time.perf_counter()-t0:.1f}s "
-        f"({fb.item_op.nbytes/1e9:.2f} GB bf16)")
-
     params = init_params(jax.random.key(0), cfg)
 
-    # --- layered oracle path timing (for comparison only) ---
+    # --- layered oracle path timing FIRST (fast-path-independent) ---
     from gnn_ecommerce_tpu.models import get_embedding
 
     layered = jax.jit(
@@ -126,6 +117,14 @@ def main():
     )
     t_layered = timeit(layered, params, reps=2)
     log(f"layered segment path: {t_layered*1e3:.0f} ms / {LAYERS} layers")
+
+    # --- one-time: dense item-item 2-hop operator (static graph) ---
+    log("building B_ii item operator (one-time per graph) ...")
+    t0 = time.perf_counter()
+    fb = build_fast_bipartite(graph, dtype=jnp.bfloat16)
+    jax.block_until_ready(fb.item_op)
+    t_build = time.perf_counter() - t0
+    log(f"B_ii built in {t_build:.1f}s ({fb.item_op.nbytes/1e9:.2f} GB bf16)")
 
     # --- fast bipartite path ---
     fast = jax.jit(lambda p: fast_get_embedding(p, fb, LAYERS))
@@ -214,6 +213,7 @@ def main():
                 "unit": "edges/s/chip",
                 "vs_baseline": round(vs_baseline, 2),
                 "detail": {
+                    "b_ii_build_s": round(t_build, 2),
                     "fast_forward_ms": round(t_fast * 1e3, 2),
                     "layered_forward_ms": round(t_layered * 1e3, 2),
                     "train_step_ms": round(step_s * 1e3, 2),

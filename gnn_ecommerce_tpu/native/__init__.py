@@ -70,6 +70,13 @@ def _load():
             i64p, i64p, i64, i64p, i64, i64p, i64p, i64, i64, i64p, i64p,
         ]
         lib.bfs_batch.restype = None
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.pair_aggregate.argtypes = [
+            i64p, i64, i64p, f32p, i64, i64, i64p, i64p, f64p,
+        ]
+        lib.pair_aggregate.restype = i64
+        lib.pair_count.argtypes = [i64p, i64, i64]
+        lib.pair_count.restype = i64
         _LIB = lib
         return _LIB
 
@@ -135,6 +142,59 @@ def groupby_edges(
         u_codes, i_codes, weights, purchased, n, n_u, n_i, out_u, out_i, out_w, out_p
     )
     return out_u[:m].copy(), out_i[:m].copy(), out_w[:m].copy(), out_p[:m].copy()
+
+
+def pair_aggregate(
+    indptr: np.ndarray,
+    items: np.ndarray,
+    weights: np.ndarray,
+    n_items: int,
+    max_deg: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Aggregate per-row item co-occurrence pairs into a (a, b, v) COO sorted
+    by (a, b): v[a,b] = Σ_rows w_a·w_b over rows with degree ≤ max_deg.
+
+    Native two-pass counting sort; numpy lexsort fallback.
+    """
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    items = np.ascontiguousarray(items, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    lib = _load()
+    if lib is None:
+        deg = np.diff(indptr)
+        keep = (deg <= max_deg) & (deg > 0)
+        a_parts, b_parts, v_parts = [], [], []
+        for r in np.nonzero(keep)[0]:
+            row_i = items[indptr[r] : indptr[r + 1]]
+            row_w = weights[indptr[r] : indptr[r + 1]].astype(np.float64)
+            a_parts.append(np.repeat(row_i, len(row_i)))
+            b_parts.append(np.tile(row_i, len(row_i)))
+            v_parts.append(np.outer(row_w, row_w).ravel())
+        if not a_parts:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        v = np.concatenate(v_parts)
+        order = np.lexsort((b, a))
+        a, b, v = a[order], b[order], v[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        group = np.cumsum(new) - 1
+        out_v = np.zeros(int(group[-1]) + 1)
+        np.add.at(out_v, group, v)
+        return a[new], b[new], out_v
+    cap = int(lib.pair_count(indptr, len(indptr) - 1, max_deg))
+    if cap == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+    out_a = np.empty(cap, dtype=np.int64)
+    out_b = np.empty(cap, dtype=np.int64)
+    out_v = np.empty(cap, dtype=np.float64)
+    m = lib.pair_aggregate(
+        indptr, len(indptr) - 1, items, weights, n_items, max_deg,
+        out_a, out_b, out_v,
+    )
+    return out_a[:m].copy(), out_b[:m].copy(), out_v[:m].copy()
 
 
 def bfs_batch(

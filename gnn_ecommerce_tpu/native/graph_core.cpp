@@ -78,6 +78,99 @@ int64_t groupby_edges(const int64_t* u, const int64_t* i, const double* w,
   return m + 1;
 }
 
+// Item-item co-occurrence pairs for the dense 2-hop operator (B_ii) build:
+// for each user row of the CSR (indptr over users, item/weight lists), emit
+// every ordered pair (item_a, item_b) with value w_a * w_b, then aggregate
+// duplicates into a COO sorted by (a, b) via two stable counting-sort passes
+// (O(P + I)). Returns the number of unique pairs written to out_*.
+//
+// Caller guarantees capacity: out arrays sized to total pair count
+// P = sum_u deg_u^2 (capacity_hint). Rows with deg > max_deg are skipped
+// (they go through the dense matmul path instead).
+int64_t pair_aggregate(const int64_t* indptr, int64_t n_rows,
+                       const int64_t* items, const float* weights,
+                       int64_t n_items, int64_t max_deg, int64_t* out_a,
+                       int64_t* out_b, double* out_v) {
+  // Pass 1: emit pairs grouped by b (counting sort pass over b built into
+  // emission): first count b occurrences.
+  std::vector<int64_t> count_b(n_items + 1, 0);
+  int64_t total = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t lo = indptr[r], hi = indptr[r + 1], deg = hi - lo;
+    if (deg > max_deg) continue;
+    for (int64_t q = lo; q < hi; ++q) count_b[items[q] + 1] += deg;
+    total += deg * deg;
+  }
+  for (int64_t v = 0; v < n_items; ++v) count_b[v + 1] += count_b[v];
+
+  std::vector<int64_t> tmp_a(total);
+  std::vector<double> tmp_v(total);
+  std::vector<int64_t> cursor(count_b.begin(), count_b.end() - 1);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t lo = indptr[r], hi = indptr[r + 1], deg = hi - lo;
+    if (deg > max_deg) continue;
+    for (int64_t qb = lo; qb < hi; ++qb) {
+      const int64_t b = items[qb];
+      const double wb = weights[qb];
+      int64_t c = cursor[b];
+      for (int64_t qa = lo; qa < hi; ++qa, ++c) {
+        tmp_a[c] = items[qa];
+        tmp_v[c] = static_cast<double>(weights[qa]) * wb;
+      }
+      cursor[b] = c;
+    }
+  }
+  // tmp is now sorted by b (stable within b by emission order). Pass 2:
+  // stable counting sort by a, aggregating equal (a, b) on the fly is not
+  // possible mid-sort, so sort fully then linear-aggregate.
+  std::vector<int64_t> count_a(n_items + 1, 0);
+  for (int64_t k = 0; k < total; ++k) count_a[tmp_a[k] + 1]++;
+  for (int64_t v = 0; v < n_items; ++v) count_a[v + 1] += count_a[v];
+  std::vector<int64_t> pos(count_a.begin(), count_a.end() - 1);
+  // Scatter b/v into the a-sorted order. Reuse count_b's memory for b's.
+  std::vector<int64_t> sorted_b(total);
+  std::vector<double> sorted_v(total);
+  {
+    // b of element k is recoverable: elements are grouped by b; walk groups.
+    int64_t b = 0;
+    for (int64_t k = 0; k < total; ++k) {
+      while (b < n_items && k >= count_b[b + 1]) ++b;
+      const int64_t p = pos[tmp_a[k]]++;
+      sorted_b[p] = b;
+      sorted_v[p] = tmp_v[k];
+    }
+  }
+  // Recover a per element from count_a groups and aggregate duplicates.
+  int64_t m = -1, last_a = -1, last_b = -1;
+  {
+    int64_t a = 0;
+    for (int64_t k = 0; k < total; ++k) {
+      while (a < n_items && k >= count_a[a + 1]) ++a;
+      const int64_t b = sorted_b[k];
+      if (a != last_a || b != last_b) {
+        ++m;
+        out_a[m] = a;
+        out_b[m] = b;
+        out_v[m] = 0.0;
+        last_a = a;
+        last_b = b;
+      }
+      out_v[m] += sorted_v[k];
+    }
+  }
+  return m + 1;
+}
+
+// Total pair count for capacity sizing: sum over rows of deg^2 (deg <= max_deg).
+int64_t pair_count(const int64_t* indptr, int64_t n_rows, int64_t max_deg) {
+  int64_t total = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t deg = indptr[r + 1] - indptr[r];
+    if (deg <= max_deg) total += deg * deg;
+  }
+  return total;
+}
+
 // Batched BFS over an undirected CSR graph. For each source s (with targets
 // targets[t_indptr[s]..t_indptr[s+1]]), run one frontier BFS up to `cutoff`
 // hops, then emit per target: distance (or -1) and the path node sequence.

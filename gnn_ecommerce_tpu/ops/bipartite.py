@@ -126,9 +126,9 @@ to_items.defvjp(_to_items_fwd, _to_items_bwd)
 def build_item_operator(
     split: BipartiteSplit,
     dtype=jnp.float32,
-    ell_width: int = 8,
+    ell_width: int = 16,
     heavy_chunk: int = 512,
-    scatter_chunk: int = 100_000,
+    scatter_chunk: int = 8_000_000,
     band_bytes: float = 5.5e9,
 ) -> jax.Array:
     """Compute dense B_ii = Â_iu · Â_ui  [n_items, n_items] on device.
@@ -143,10 +143,13 @@ def build_item_operator(
       1-D int32 indices ((a - band_start)·I + b, kept < 2^31 by the band
       split), each band cast to ``dtype`` before the next starts — peak HBM
       is one f32 band + the finished bf16 bands;
-    - users are degree-binned (power-law tail): deg ≤ ell_width users go
-      through W-padded ELL outer-product scatter (Σ deg² updates); heavier
-      users are densified per ``heavy_chunk`` into M [I, C] and contribute
-      via MXU matmuls  band += M[band] @ Mᵀ.
+    - users are degree-binned (power-law tail): deg ≤ ell_width users'
+      Σ deg² outer-product contributions are aggregated HOST-SIDE into a
+      deduplicated (a, b, v) COO sorted by (a, b) (``native.pair_aggregate``,
+      O(P + I) counting sorts in C++), so the device does ONE sorted
+      exactly-once scatter per band instead of Σ deg² unsorted padded
+      updates; heavier users are densified per ``heavy_chunk`` into M [I, C]
+      and contribute via MXU matmuls  band += M[band] @ Mᵀ.
 
     Accumulation is float32 throughout; returns B in ``dtype``.
     """
@@ -173,32 +176,23 @@ def build_item_operator(
     R = -(-n_items // n_bands)
 
     # --- host-side degree binning (shared across bands) ---
-    light = counts <= ell_width
-    l_idx = l_val = None
-    if light.any():
-        l_first, l_counts = first[light], counts[light]
-        rows = np.repeat(np.arange(len(l_first)), l_counts)
-        flat_pos = flat_positions(l_counts)
-        take = np.repeat(l_first, l_counts) + flat_pos
-        l_idx = np.zeros((len(l_first), ell_width), np.int32)
-        l_val = np.zeros((len(l_first), ell_width), np.float32)
-        l_idx[rows, flat_pos] = ui_item[take].astype(np.int32)
-        l_val[rows, flat_pos] = ui_w[take]
-    heavy = ~light
+    # Light users: host-native pair aggregation into a (a, b, v) COO sorted
+    # by (a, b) — band slices are contiguous ranges found by searchsorted.
+    from .. import native
+
+    user_indptr = np.append(first, len(ui_user))
+    coo_a, coo_b, coo_v = native.pair_aggregate(
+        user_indptr, ui_item, ui_w.astype(np.float32), n_items, ell_width
+    )
+    heavy = counts > ell_width
     h_first, h_counts = first[heavy], counts[heavy]
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-    def scatter_outer_band(Bb, idx_c, val_c, a0: int):
-        # [C, W, W] outer products -> flat 1-D scatter into the band. Rows
-        # outside [a0, a0+R) get an out-of-range index and mode="drop".
-        # Zero-padded ELL slots carry val 0 (harmless +0 at (0 - a0?) — their
-        # row 0 is only in band 0, where they add 0 to B[0, 0]).
-        rr = jnp.broadcast_to(idx_c[:, :, None], idx_c.shape + (idx_c.shape[1],))
-        cc = jnp.broadcast_to(idx_c[:, None, :], rr.shape)
-        v = val_c[:, :, None] * val_c[:, None, :]
-        local = rr - a0
-        flat = jnp.where((local >= 0) & (local < R), local * n_items + cc, R * n_items)
-        out = Bb.reshape(-1).at[flat.reshape(-1)].add(v.reshape(-1), mode="drop")
+    @partial(jax.jit, donate_argnums=(0,))
+    def scatter_coo_band(Bb, flat_idx, vals):
+        # Sorted exactly-once flat int32 scatter of aggregated pairs.
+        out = Bb.reshape(-1).at[flat_idx].add(
+            vals, mode="drop", indices_are_sorted=True, unique_indices=True
+        )
         return out.reshape(Bb.shape)
 
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
@@ -217,13 +211,16 @@ def build_item_operator(
     for b in range(n_bands):
         a0 = b * R
         Bb = jnp.zeros((R, n_items), jnp.float32)
-        if l_idx is not None:
-            for s in range(0, len(l_idx), scatter_chunk):
-                Bb = scatter_outer_band(
+        lo = int(np.searchsorted(coo_a, a0))
+        hi = int(np.searchsorted(coo_a, a0 + R))
+        if hi > lo:
+            band_flat = ((coo_a[lo:hi] - a0) * n_items + coo_b[lo:hi]).astype(np.int32)
+            band_vals = coo_v[lo:hi].astype(np.float32)
+            for s in range(0, len(band_flat), scatter_chunk):
+                Bb = scatter_coo_band(
                     Bb,
-                    jnp.asarray(l_idx[s : s + scatter_chunk]),
-                    jnp.asarray(l_val[s : s + scatter_chunk]),
-                    a0,
+                    jnp.asarray(band_flat[s : s + scatter_chunk]),
+                    jnp.asarray(band_vals[s : s + scatter_chunk]),
                 )
         for s in range(0, len(h_first), heavy_chunk):
             f_c = h_first[s : s + heavy_chunk]

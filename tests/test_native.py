@@ -112,3 +112,31 @@ def test_events_pipeline_native_equals_pandas_oracle(rng):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), oracle, check_dtype=False, atol=1e-12
     )
+
+
+@requires_native
+def test_pair_aggregate_matches_fallback(rng, monkeypatch):
+    n_rows, n_items = 80, 30
+    counts = rng.integers(0, 9, n_rows)
+    indptr = np.append(0, np.cumsum(counts)).astype(np.int64)
+    items = rng.integers(0, n_items, int(counts.sum())).astype(np.int64)
+    w = rng.uniform(0.1, 1.0, int(counts.sum())).astype(np.float32)
+    a1, b1, v1 = native.pair_aggregate(indptr, items, w, n_items, max_deg=6)
+    monkeypatch.setattr(native, "_load", lambda: None)
+    a2, b2, v2 = native.pair_aggregate(indptr, items, w, n_items, max_deg=6)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    # And against a dense oracle.
+    dense = np.zeros((n_items, n_items))
+    for r in range(n_rows):
+        if counts[r] > 6:
+            continue
+        row_i = items[indptr[r]:indptr[r + 1]]
+        row_w = w[indptr[r]:indptr[r + 1]].astype(np.float64)
+        for x, wx in zip(row_i, row_w):
+            for y, wy in zip(row_i, row_w):
+                dense[x, y] += wx * wy
+    sparse = np.zeros_like(dense)
+    sparse[a1, b1] = v1
+    np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-7)
