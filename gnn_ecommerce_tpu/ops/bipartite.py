@@ -189,49 +189,81 @@ def build_item_operator(
 
     @partial(jax.jit, donate_argnums=(0,))
     def scatter_coo_band(Bb, flat_idx, vals):
-        # Sorted exactly-once flat int32 scatter of aggregated pairs.
+        # Sorted exactly-once flat int32 scatter of aggregated pairs
+        # (padding entries carry index R·I and mode="drop" discards them).
         out = Bb.reshape(-1).at[flat_idx].add(
             vals, mode="drop", indices_are_sorted=True, unique_indices=True
         )
         return out.reshape(Bb.shape)
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
-    def dense_accum_band(Bb, cols, items_idx, vals, a0: int):
+    @partial(jax.jit, donate_argnums=(0,))
+    def dense_accum_band(Bb, cols, items_idx, vals, a0):
         # Densify the chunk's incidence into M (flat 1-D scatter; rows padded
         # to R·n_bands so every band slice is full-height), then
-        # band += M[a0:a0+R] @ Mᵀ[:I] on the MXU.
+        # band += M[a0:a0+R] @ Mᵀ[:I] on the MXU. a0 is traced: one compile
+        # serves every band.
         M = jnp.zeros((R * n_bands * heavy_chunk,), jnp.float32)
         M = M.at[items_idx * heavy_chunk + cols].add(vals, mode="drop")
         M = M.reshape(R * n_bands, heavy_chunk)
+        band_rows = jax.lax.dynamic_slice_in_dim(M, a0, R, axis=0)
         return Bb + jnp.dot(
-            M[a0 : a0 + R], M[:n_items].T, preferred_element_type=jnp.float32
+            band_rows, M[:n_items].T, preferred_element_type=jnp.float32
         )
+
+    # Fixed chunk capacities so every device call hits ONE compiled program
+    # (variable tails would recompile per chunk through the TPU compiler).
+    band_bounds = [
+        (int(np.searchsorted(coo_a, b * R)), int(np.searchsorted(coo_a, (b + 1) * R)))
+        for b in range(n_bands)
+    ]
+    max_band = max((hi - lo for lo, hi in band_bounds), default=0)
+    s_cap = min(scatter_chunk, max(max_band, 1))
+    heavy_chunks = [
+        (s, int(h_counts[s : s + heavy_chunk].sum()))
+        for s in range(0, len(h_first), heavy_chunk)
+    ]
+    h_cap = max((nnz for _, nnz in heavy_chunks), default=1)
+
+    def padded(arr, cap, fill):
+        out = np.full(cap, fill, dtype=arr.dtype)
+        out[: len(arr)] = arr
+        return jnp.asarray(out)
 
     bands = []
     for b in range(n_bands):
         a0 = b * R
         Bb = jnp.zeros((R, n_items), jnp.float32)
-        lo = int(np.searchsorted(coo_a, a0))
-        hi = int(np.searchsorted(coo_a, a0 + R))
+        lo, hi = band_bounds[b]
         if hi > lo:
             band_flat = ((coo_a[lo:hi] - a0) * n_items + coo_b[lo:hi]).astype(np.int32)
             band_vals = coo_v[lo:hi].astype(np.float32)
-            for s in range(0, len(band_flat), scatter_chunk):
-                Bb = scatter_coo_band(
-                    Bb,
-                    jnp.asarray(band_flat[s : s + scatter_chunk]),
-                    jnp.asarray(band_vals[s : s + scatter_chunk]),
-                )
-        for s in range(0, len(h_first), heavy_chunk):
+            for s in range(0, len(band_flat), s_cap):
+                chunk_f = band_flat[s : s + s_cap]
+                chunk_v = band_vals[s : s + s_cap]
+                if len(chunk_f) < s_cap:
+                    # Distinct out-of-range pad indices keep the
+                    # unique_indices/sorted promises honest; mode="drop".
+                    pad_idx = R * n_items + np.arange(
+                        s_cap - len(chunk_f), dtype=np.int64
+                    )
+                    pad_idx = np.minimum(pad_idx, np.iinfo(np.int32).max).astype(
+                        np.int32
+                    )
+                    chunk_f = np.concatenate([chunk_f, pad_idx])
+                    chunk_v = np.concatenate(
+                        [chunk_v, np.zeros(s_cap - len(chunk_v), np.float32)]
+                    )
+                Bb = scatter_coo_band(Bb, jnp.asarray(chunk_f), jnp.asarray(chunk_v))
+        for s, _nnz in heavy_chunks:
             f_c = h_first[s : s + heavy_chunk]
             c_c = h_counts[s : s + heavy_chunk]
             rows = np.repeat(np.arange(len(f_c)), c_c).astype(np.int32)
             take = np.repeat(f_c, c_c) + flat_positions(c_c)
             Bb = dense_accum_band(
                 Bb,
-                jnp.asarray(rows),
-                jnp.asarray(ui_item[take].astype(np.int32)),
-                jnp.asarray(ui_w[take]),
+                padded(rows, h_cap, np.int32(0)),
+                padded(ui_item[take].astype(np.int32), h_cap, np.int32(0)),
+                padded(ui_w[take].astype(np.float32), h_cap, np.float32(0)),
                 a0,
             )
         bands.append(Bb.astype(dtype))

@@ -55,6 +55,11 @@ class TrainConfig:
     resume: bool = False
     sample_replace: bool = True
     log_path: Optional[str] = None  # default: <checkpoint_dir>/train_log.jsonl
+    # When set, capture a jax.profiler trace (viewable in XProf/TensorBoard)
+    # of epoch `profile_epoch` into this directory (SURVEY.md §5: the
+    # reference has no compute tracing at all).
+    profile_dir: Optional[str] = None
+    profile_epoch: int = 1  # skip epoch 0 (compile noise)
 
     def hyperparams(self) -> dict:
         # Reference key-name parity for checkpoint metadata
@@ -149,12 +154,20 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     best_epoch = -1
     best_precision = 0.0
     for epoch in range(start_epoch, config.epochs):
+        profiling = config.profile_dir and epoch == min(
+            config.profile_epoch, config.epochs - 1
+        )
+        if profiling:
+            jax.profiler.start_trace(config.profile_dir)
         t0 = time.perf_counter()
         params, opt_state, metrics = run_steps(
             params, opt_state, graph, sdata, jax.random.fold_in(key, 1000 + epoch), n_batch
         )
         jax.block_until_ready(params)
         t_train = time.perf_counter() - t0
+        if profiling:
+            jax.profiler.stop_trace()
+            log({"msg": f"profiler trace (epoch {epoch}) -> {config.profile_dir}"})
 
         final_emb = get_embedding(params, graph, cfg)
         precision, recall, _, _, _ = evaluate(
