@@ -120,8 +120,13 @@ def main():
 
     # --- one-time: dense item-item 2-hop operator (static graph) ---
     log("building B_ii item operator (one-time per graph) ...")
+    num_arcs = graph.num_arcs
     t0 = time.perf_counter()
-    fb = build_fast_bipartite(graph, dtype=jnp.bfloat16)
+    from gnn_ecommerce_tpu.ops.bipartite import build_item_operator, split_graph, FastBipartite
+
+    fbsplit = split_graph(graph)
+    del graph, layered  # free the unified arc arrays' HBM before the build
+    fb = FastBipartite(split=fbsplit, item_op=build_item_operator(fbsplit, dtype=jnp.bfloat16))
     jax.block_until_ready(fb.item_op)
     t_build = time.perf_counter() - t0
     log(f"B_ii built in {t_build:.1f}s ({fb.item_op.nbytes/1e9:.2f} GB bf16)")
@@ -129,7 +134,7 @@ def main():
     # --- fast bipartite path ---
     fast = jax.jit(lambda p: fast_get_embedding(p, fb, LAYERS))
     t_fast = timeit(fast, params, reps=10)
-    logical_edges = graph.num_arcs * LAYERS
+    logical_edges = num_arcs * LAYERS
     edges_per_s = logical_edges / t_fast
     log(
         f"fast bipartite path: {t_fast*1e3:.1f} ms / {LAYERS} layers -> "

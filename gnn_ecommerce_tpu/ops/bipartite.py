@@ -129,7 +129,7 @@ def build_item_operator(
     ell_width: int = 16,
     heavy_chunk: int = 512,
     scatter_chunk: int = 8_000_000,
-    band_bytes: float = 5.5e9,
+    band_bytes: float = 2.5e9,
 ) -> jax.Array:
     """Compute dense B_ii = Â_iu · Â_ui  [n_items, n_items] on device.
 
@@ -229,7 +229,14 @@ def build_item_operator(
         out[: len(arr)] = arr
         return jnp.asarray(out)
 
-    bands = []
+    # Preallocated output; bands commit in place (donated) so peak HBM is
+    # one f32 band + its matmul temp + this buffer — never a concat spike.
+    B = jnp.zeros((R * n_bands, n_items), dtype)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def commit_band(B, Bb, a0):
+        return jax.lax.dynamic_update_slice(B, Bb.astype(dtype), (a0, 0))
+
     for b in range(n_bands):
         a0 = b * R
         Bb = jnp.zeros((R, n_items), jnp.float32)
@@ -266,9 +273,10 @@ def build_item_operator(
                 padded(ui_w[take].astype(np.float32), h_cap, np.float32(0)),
                 a0,
             )
-        bands.append(Bb.astype(dtype))
+        B = commit_band(B, Bb, a0)
         del Bb
-    B = jnp.concatenate(bands, axis=0)[:n_items] if len(bands) > 1 else bands[0][:n_items]
+    if R * n_bands != n_items:
+        B = B[:n_items]
     return B
 
 
@@ -294,14 +302,37 @@ def build_fast_bipartite(graph: BipartiteGraph, dtype=jnp.float32) -> FastBipart
     return FastBipartite(split=split, item_op=build_item_operator(split, dtype=dtype))
 
 
+def make_pallas_to_users(split: BipartiteSplit, table_dtype=jnp.bfloat16, **kwargs):
+    """Pallas-kernel to_users with the exact symmetric backward: forward is
+    the VMEM-resident one-hot-matmul kernel (``ops/pallas_spmm.py``), the
+    cotangent flows through ``to_items`` ((Â_ui)ᵀ = Â_iu). ``table_dtype``
+    is the VMEM item-table precision (bf16 halves residency; f32 for
+    allclose parity)."""
+    from .pallas_spmm import from_split
+
+    op = from_split(split, **kwargs)
+
+    @jax.custom_vjp
+    def f(x_items):
+        return op(x_items, dtype=table_dtype)
+
+    f.defvjp(lambda x: (f(x), None), lambda _, g: (to_items(g, split),))
+    return f
+
+
 def fast_get_embedding(
-    params: dict, fb: FastBipartite, num_layers: int, alpha=None
+    params: dict,
+    fb: FastBipartite,
+    num_layers: int,
+    alpha=None,
+    to_users_fn=None,
 ) -> jax.Array:
     """Alpha-weighted LightGCN embedding via the 2-SpMM factorization.
 
     Exact restructure of reference ``get_embedding`` (``src/lightgcn.py:
     91-99``); see module docstring for the algebra. Returns the unified
-    [n_users + n_items, D] final embedding.
+    [n_users + n_items, D] final embedding. ``to_users_fn`` (e.g. from
+    :func:`make_pallas_to_users`) overrides the XLA segment-sum to_users.
     """
     if alpha is None:
         alpha = jnp.full((num_layers + 1,), 1.0 / (num_layers + 1), jnp.float32)
@@ -319,5 +350,8 @@ def fast_get_embedding(
 
     out_i = sum(alpha[l] * i_seq[l] for l in range(num_layers + 1))
     S_i = sum(alpha[l] * i_seq[l - 1] for l in range(1, num_layers + 1))
-    out_u = alpha[0] * E_u.astype(jnp.float32) + to_users(S_i, fb.split)
+    users_of = to_users_fn if to_users_fn is not None else (
+        lambda s: to_users(s, fb.split)
+    )
+    out_u = alpha[0] * E_u.astype(jnp.float32) + users_of(S_i)
     return jnp.concatenate([out_u, out_i], axis=0).astype(E.dtype)
