@@ -1,0 +1,84 @@
+"""Multi-host bootstrap (jax.distributed) + parallelism notes.
+
+The reference is a single process on a single GPU (``src/train_lightgcn.py:
+13``); everything here is new design. A multi-host TPU slice runs ONE
+python process per host; ``jax.distributed.initialize`` wires them into one
+JAX runtime where ``jax.devices()`` spans the slice and GSPMD/shard_map
+collectives ride ICI within the slice and DCN across slices.
+
+Strategy map for this workload (SURVEY.md §2.3):
+
+- DP (``data`` axis): BPR (user, pos, neg) batches shard across chips;
+  gradient reduction is GSPMD-inserted psum.
+- TP (``model`` axis): the embedding TABLE is row-sharded — at cosmetics
+  scale (1.7M nodes) the table + Adam moments dominate memory.
+- EP-analog (edge partitioning): each shard owns the arcs whose destination
+  it owns; see ``parallel/edge_partition.py`` for the explicit shard_map
+  path with all_to_all boundary-row exchange.
+- SP/CP-analog: the edge dimension is chunked per shard
+  (``ops/propagate.propagate_segment_chunked``) to bound the message temp —
+  the graph analog of blockwise/ring attention over a long sequence.
+- PP: deliberately NOT implemented. LightGCN has one shared embedding
+  table and 3-5 parameter-free propagation layers; there are no per-layer
+  weights to place on different stages, and the activation working set
+  (one [N, D] tensor) is the same at every layer — pipelining would add
+  bubbles and boundary transfers without sharding any parameter state the
+  ``model`` axis doesn't already shard better.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Initialize the multi-host JAX runtime (idempotent, safe single-host).
+
+    With no arguments, relies on TPU metadata auto-detection (GKE/GCE TPU
+    VMs set the coordinator env); explicit args mirror
+    ``jax.distributed.initialize``. Returns a summary dict for logging.
+    """
+    already = getattr(jax.distributed, "is_initialized", lambda: False)()
+    multi = (
+        coordinator_address is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or (num_processes or 0) > 1
+    )
+    if multi and not already:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def assert_cross_host_agreement(value, name: str = "metric", atol: float = 0.0):
+    """Determinism guard (SURVEY.md §5: the race-detection analog): assert a
+    scalar metric is identical across hosts. On a single host this is free;
+    on many hosts it catches divergent data shards / non-determinism early.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(jnp.asarray(value))
+    lo, hi = np.min(gathered), np.max(gathered)
+    if hi - lo > atol:
+        raise AssertionError(
+            f"cross-host disagreement on {name}: min {lo} max {hi} (atol {atol})"
+        )
