@@ -131,8 +131,10 @@ def main():
     t_build = time.perf_counter() - t0
     log(f"B_ii built in {t_build:.1f}s ({fb.item_op.nbytes/1e9:.2f} GB bf16)")
 
-    # --- fast bipartite path ---
-    fast = jax.jit(lambda p: fast_get_embedding(p, fb, LAYERS))
+    # --- fast bipartite path (fb passed as an ARG: closing over it would
+    # bake the 6GB item operator into the executable as a captured constant) ---
+    fast2 = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, LAYERS))
+    fast = lambda p: fast2(p, fb)
     t_fast = timeit(fast, params, reps=10)
     logical_edges = num_arcs * LAYERS
     edges_per_s = logical_edges / t_fast
@@ -140,6 +142,28 @@ def main():
         f"fast bipartite path: {t_fast*1e3:.1f} ms / {LAYERS} layers -> "
         f"{edges_per_s:.3e} logical edges/s/chip ({t_layered/t_fast:.1f}x over layered)"
     )
+
+    # --- fast path with the Pallas to_users kernel (guarded) ---
+    t_pallas = None
+    try:
+        from gnn_ecommerce_tpu.ops.bipartite import make_pallas_to_users
+
+        pl_to_users = make_pallas_to_users(fb.split, rows=512, e_chunk=2048)
+        fast_pl2 = jax.jit(
+            lambda p, fb_: fast_get_embedding(p, fb_, LAYERS, to_users_fn=pl_to_users)
+        )
+        fast_pl = lambda p: fast_pl2(p, fb)
+        t_pallas = timeit(fast_pl, params, reps=10)
+        log(
+            f"fast + pallas to_users: {t_pallas*1e3:.1f} ms "
+            f"({t_fast/t_pallas:.2f}x over XLA to_users)"
+        )
+        if t_pallas < t_fast:
+            fast = fast_pl
+            t_fast = t_pallas
+            edges_per_s = logical_edges / t_fast
+    except Exception as e:  # Mosaic/compile failure must not kill the bench
+        log(f"pallas to_users unavailable: {type(e).__name__}: {e}")
 
     # --- train step (fast path) ---
     purch = w == 1.0

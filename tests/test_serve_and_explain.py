@@ -171,3 +171,27 @@ def test_hit_paths_matches_networkx(prepared):
                         assert g.has_edge(a, b)
             else:
                 assert d == -1
+
+
+def test_plot_user_paths(tmp_path):
+    import pandas as pd
+    from gnn_ecommerce_tpu.explain import plot_user_paths
+
+    hit_df = pd.DataFrame(
+        {
+            "user_id_idx": [0, 0],
+            "item_id_idx": [0, 1],
+            "path_length": [1, 3],
+            "path": [[0, 2], [0, 2, 1, 3]],
+            "longer_than_3": [False, False],
+        }
+    )
+    out = tmp_path / "paths.png"
+    fig = plot_user_paths(hit_df, user_id=0, n_users=2, out_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+    with pytest.raises(ValueError, match="no hit paths"):
+        plot_user_paths(hit_df, user_id=7, n_users=2)
