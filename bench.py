@@ -78,14 +78,19 @@ def build_synthetic_graph():
 
 
 def timeit(f, *args, reps=5):
+    """Per-rep scalar readback: through the axon tunnel, block_until_ready on
+    a device handle is not a reliable completion barrier — pulling one scalar
+    derived from the output is."""
     import jax
+    import jax.numpy as jnp
 
+    pull = jax.jit(lambda o: jnp.sum(jax.tree.leaves(o)[0][..., -1]))
     out = f(*args)
-    jax.block_until_ready(out)
+    float(pull(out))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(*args)
-    jax.block_until_ready(out)
+        float(pull(out))
     return (time.perf_counter() - t0) / reps
 
 
@@ -110,11 +115,12 @@ def main():
     # --- layered oracle path timing FIRST (fast-path-independent) ---
     from gnn_ecommerce_tpu.models import get_embedding
 
-    layered = jax.jit(
-        lambda p: get_embedding(
-            p, graph, cfg, lambda g, x: propagate_segment_chunked(g, x, 8)
+    layered2 = jax.jit(
+        lambda p, g: get_embedding(
+            p, g, cfg, lambda g_, x: propagate_segment_chunked(g_, x, 8)
         )
     )
+    layered = lambda p: layered2(p, graph)
     t_layered = timeit(layered, params, reps=2)
     log(f"layered segment path: {t_layered*1e3:.0f} ms / {LAYERS} layers")
 
@@ -125,8 +131,12 @@ def main():
     from gnn_ecommerce_tpu.ops.bipartite import build_item_operator, split_graph, FastBipartite
 
     fbsplit = split_graph(graph)
-    del graph, layered  # free the unified arc arrays' HBM before the build
-    fb = FastBipartite(split=fbsplit, item_op=build_item_operator(fbsplit, dtype=jnp.bfloat16))
+    del graph, layered, layered2  # free the unified arc arrays' HBM
+    jax.clear_caches()            # drop compiled executables + their buffers
+    fb = FastBipartite(
+        split=fbsplit,
+        item_op=build_item_operator(fbsplit, dtype=jnp.bfloat16, band_bytes=1.5e9),
+    )
     jax.block_until_ready(fb.item_op)
     t_build = time.perf_counter() - t0
     log(f"B_ii built in {t_build:.1f}s ({fb.item_op.nbytes/1e9:.2f} GB bf16)")
@@ -194,7 +204,7 @@ def main():
     params, opt_state, m = run_steps(
         params, opt_state, fb, sdata, jax.random.key(2), reps_steps
     )
-    jax.block_until_ready(params)
+    float(m["loss"])  # scalar readback = reliable completion barrier
     step_s = (time.perf_counter() - t0) / reps_steps
     log(f"train step: {step_s*1e3:.1f} ms (bpr={float(m['bpr_loss']):.4f})")
 

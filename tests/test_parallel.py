@@ -70,3 +70,32 @@ def test_sharded_step_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(p1["embedding"]), np.asarray(p8["embedding"]), rtol=1e-4, atol=1e-6
     )
+
+
+def test_sharded_evaluate_matches_single_device(rng):
+    import jax.numpy as jnp
+    from gnn_ecommerce_tpu.data.prepare import CsrList, EvalSplit
+    from gnn_ecommerce_tpu.eval import build_eval_batch, evaluate
+    from gnn_ecommerce_tpu.parallel import make_mesh
+    from gnn_ecommerce_tpu.parallel.sharded_eval import sharded_evaluate
+
+    n_users, n_items, dim = 37, 12, 8  # deliberately not divisible by 8
+    emb = jnp.asarray(rng.standard_normal((n_users + n_items, dim)).astype(np.float32))
+    uids = np.sort(rng.choice(n_users, 13, replace=False)).astype(np.int64)
+    truth_vals = rng.integers(0, n_items, len(uids))
+    mask_lens = rng.integers(0, 3, len(uids))
+    mask_vals = rng.integers(0, n_items, int(mask_lens.sum()))
+    split = EvalSplit(
+        user_ids=uids,
+        truth=CsrList(np.arange(len(uids) + 1), truth_vals),
+        train_mask=CsrList(np.append(0, np.cumsum(mask_lens)), mask_vals),
+    )
+    batch = build_eval_batch(split)
+    p1, r1, pr1, rr1, idx1 = evaluate(emb, batch, n_users, k=5, item_tile=8)
+    mesh = make_mesh(8, axis_sizes=(8,), axis_names=("data",))
+    p2, r2, pr2, rr2, idx2 = sharded_evaluate(
+        emb, batch, n_users, mesh, k=5, item_tile=8
+    )
+    assert p2 == pytest.approx(p1, rel=1e-6)
+    assert r2 == pytest.approx(r1, rel=1e-6)
+    np.testing.assert_array_equal(idx2, idx1)
