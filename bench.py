@@ -235,9 +235,9 @@ def main():
     eval_s = time.perf_counter() - t0
     log(f"eval ({len(ev_users)} users x {N_ITEMS} items): {eval_s:.2f}s")
 
-    # --- projection vs reference ---
+    # --- projection vs reference (includes the one-time B_ii build) ---
     epoch_s = STEPS_PER_EPOCH * step_s + eval_s + t_fast
-    projected_hours = EPOCHS * epoch_s / 3600.0
+    projected_hours = (t_build + EPOCHS * epoch_s) / 3600.0
     vs_baseline = REFERENCE_HOURS / projected_hours
     log(
         f"projected full training: {projected_hours:.3f} h for {EPOCHS} epochs "

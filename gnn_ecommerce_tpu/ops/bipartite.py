@@ -126,7 +126,7 @@ to_items.defvjp(_to_items_fwd, _to_items_bwd)
 def build_item_operator(
     split: BipartiteSplit,
     dtype=jnp.float32,
-    ell_width: int = 16,
+    ell_width: int = 8,
     heavy_chunk: int = 512,
     scatter_chunk: int = 8_000_000,
     band_bytes: float = 2.5e9,
@@ -196,19 +196,33 @@ def build_item_operator(
         )
         return out.reshape(Bb.shape)
 
+    # Matmul input precision follows the requested output dtype: bf16 inputs
+    # with f32 accumulation in benchmarked (bf16) mode, f32 end-to-end when
+    # the caller wants exactness.
+    mm_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+
     @partial(jax.jit, donate_argnums=(0,))
-    def dense_accum_band(Bb, cols, items_idx, vals, a0):
-        # Densify the chunk's incidence into M (flat 1-D scatter; rows padded
-        # to R·n_bands so every band slice is full-height), then
-        # band += M[a0:a0+R] @ Mᵀ[:I] on the MXU. a0 is traced: one compile
-        # serves every band.
-        M = jnp.zeros((R * n_bands * heavy_chunk,), jnp.float32)
-        M = M.at[items_idx * heavy_chunk + cols].add(vals, mode="drop")
-        M = M.reshape(R * n_bands, heavy_chunk)
-        band_rows = jax.lax.dynamic_slice_in_dim(M, a0, R, axis=0)
-        return Bb + jnp.dot(
-            band_rows, M[:n_items].T, preferred_element_type=jnp.float32
-        )
+    def dense_accum_scan(Bb, rows_st, items_st, vals_st, a0):
+        # Scan over a stack of same-capacity heavy chunks: densify each into
+        # M (rows padded to R·n_bands so every band slice is full-height),
+        # then band += M[a0:a0+R] @ Mᵀ[:I] on the MXU. One dispatch per
+        # (band, bucket) group; a0 is traced so one compile serves all bands.
+        def body(Bb, chunk):
+            cols, items_idx, vals = chunk
+            M = jnp.zeros((R * n_bands * heavy_chunk,), jnp.float32)
+            M = M.at[items_idx * heavy_chunk + cols].add(vals, mode="drop")
+            M = M.reshape(R * n_bands, heavy_chunk).astype(mm_dtype)
+            band_rows = jax.lax.dynamic_slice_in_dim(M, a0, R, axis=0)
+            return (
+                Bb
+                + jnp.dot(
+                    band_rows, M[:n_items].T, preferred_element_type=jnp.float32
+                ),
+                None,
+            )
+
+        Bb, _ = jax.lax.scan(body, Bb, (rows_st, items_st, vals_st))
+        return Bb
 
     # Fixed chunk capacities so every device call hits ONE compiled program
     # (variable tails would recompile per chunk through the TPU compiler).
@@ -218,16 +232,47 @@ def build_item_operator(
     ]
     max_band = max((hi - lo for lo, hi in band_bounds), default=0)
     s_cap = min(scatter_chunk, max(max_band, 1))
+    # Heavy chunks pad their edge arrays to power-of-2 buckets: one compiled
+    # program per bucket size (a handful) instead of padding every chunk to
+    # the global max (with a power-law tail that wasted ~4x scatter work per
+    # band on padding).
+    def bucket(n: int) -> int:
+        b = 4096
+        while b < n:
+            b *= 2
+        return b
+
     heavy_chunks = [
         (s, int(h_counts[s : s + heavy_chunk].sum()))
         for s in range(0, len(h_first), heavy_chunk)
     ]
-    h_cap = max((nnz for _, nnz in heavy_chunks), default=1)
+    # Upload heavy chunk arrays ONCE, grouped by bucket capacity; each group
+    # is a stacked [n_chunks_in_group, cap] array scanned per band.
+    heavy_groups = {}
+    for s, nnz in heavy_chunks:
+        f_c = h_first[s : s + heavy_chunk]
+        c_c = h_counts[s : s + heavy_chunk]
+        rows = np.repeat(np.arange(len(f_c)), c_c).astype(np.int32)
+        take = np.repeat(f_c, c_c) + flat_positions(c_c)
+        cap = bucket(nnz)
+        heavy_groups.setdefault(cap, []).append(
+            (rows, ui_item[take].astype(np.int32), ui_w[take].astype(np.float32))
+        )
 
-    def padded(arr, cap, fill):
-        out = np.full(cap, fill, dtype=arr.dtype)
-        out[: len(arr)] = arr
-        return jnp.asarray(out)
+    def stack_padded(group, cap):
+        n = len(group)
+        rows_st = np.zeros((n, cap), np.int32)
+        items_st = np.zeros((n, cap), np.int32)
+        vals_st = np.zeros((n, cap), np.float32)
+        for j, (r, it, v) in enumerate(group):
+            rows_st[j, : len(r)] = r
+            items_st[j, : len(it)] = it
+            vals_st[j, : len(v)] = v
+        return jnp.asarray(rows_st), jnp.asarray(items_st), jnp.asarray(vals_st)
+
+    heavy_stacks = [
+        stack_padded(group, cap) for cap, group in sorted(heavy_groups.items())
+    ]
 
     # Preallocated output; bands commit in place (donated) so peak HBM is
     # one f32 band + its matmul temp + this buffer — never a concat spike.
@@ -261,18 +306,8 @@ def build_item_operator(
                         [chunk_v, np.zeros(s_cap - len(chunk_v), np.float32)]
                     )
                 Bb = scatter_coo_band(Bb, jnp.asarray(chunk_f), jnp.asarray(chunk_v))
-        for s, _nnz in heavy_chunks:
-            f_c = h_first[s : s + heavy_chunk]
-            c_c = h_counts[s : s + heavy_chunk]
-            rows = np.repeat(np.arange(len(f_c)), c_c).astype(np.int32)
-            take = np.repeat(f_c, c_c) + flat_positions(c_c)
-            Bb = dense_accum_band(
-                Bb,
-                padded(rows, h_cap, np.int32(0)),
-                padded(ui_item[take].astype(np.int32), h_cap, np.int32(0)),
-                padded(ui_w[take].astype(np.float32), h_cap, np.float32(0)),
-                a0,
-            )
+        for rows_st, items_st, vals_st in heavy_stacks:
+            Bb = dense_accum_scan(Bb, rows_st, items_st, vals_st, a0)
         B = commit_band(B, Bb, a0)
         del Bb
     if R * n_bands != n_items:
@@ -340,13 +375,30 @@ def fast_get_embedding(
     n_users = fb.n_users
     E_u, E_i = E[:n_users], E[n_users:]
 
-    # Item chain: i^0 = E_i, i^1 = Â_iu E_u, i^{l} = B_ii i^{l-2}.
+    # Item chain: i^0 = E_i, i^1 = Â_iu E_u, i^{l} = B_ii i^{l-2}. Levels are
+    # computed two at a time — B @ [i^{l-2} | i^{l-1}] — so the (6 GB at
+    # cosmetics scale, bandwidth-bound) B matrix streams from HBM once per
+    # PAIR of layers instead of once per layer.
     i_seq = [E_i.astype(jnp.float32), to_items(E_u, fb.split)]
     B = fb.item_op
-    for l in range(2, num_layers + 1):
-        prev = i_seq[l - 2]
-        nxt = jnp.dot(B, prev.astype(B.dtype), preferred_element_type=jnp.float32)
-        i_seq.append(nxt)
+    D = E_i.shape[1]
+    l = 2
+    while l <= num_layers:
+        if l + 1 <= num_layers:
+            both = jnp.concatenate(
+                [i_seq[l - 2].astype(B.dtype), i_seq[l - 1].astype(B.dtype)], axis=1
+            )
+            nxt = jnp.dot(B, both, preferred_element_type=jnp.float32)
+            i_seq.append(nxt[:, :D])
+            i_seq.append(nxt[:, D:])
+            l += 2
+        else:
+            i_seq.append(
+                jnp.dot(
+                    B, i_seq[l - 2].astype(B.dtype), preferred_element_type=jnp.float32
+                )
+            )
+            l += 1
 
     out_i = sum(alpha[l] * i_seq[l] for l in range(num_layers + 1))
     S_i = sum(alpha[l] * i_seq[l - 1] for l in range(1, num_layers + 1))
