@@ -30,6 +30,17 @@ message materialization.
 The user→item direction (output side only 54.6K rows) keeps the XLA
 sorted-segment path: its sources span the 1.6M-row user table (not VMEM-
 resident), and the fast bipartite forward needs it only once per step.
+
+STATUS (measured on v5e, jax 0.9): the kernel is exact in interpret mode
+(tests) but does NOT compile on current Mosaic — arbitrary-row VMEM gather
+(``table[idx_vector]`` / ``jnp.take``) is unsupported ("Cannot do int
+indexing on TPU"; DynamicGatherOp only serves same-shape take_along_axis on
+small tiles). Until Mosaic grows row gather, the production path is the XLA
+sorted-segment SpMM, which runs at the chip's effective random-row rate
+(~60M rows/s measured); the bipartite factorization (ops/bipartite.py)
+already minimizes how often that wall is hit (2 SpMMs per forward,
+depth-independent). bench.py probes this kernel each run and falls back
+automatically, so the day the toolchain supports the gather it lights up.
 """
 from __future__ import annotations
 

@@ -51,6 +51,16 @@ def make_server(service: RecommenderService, host: str = "127.0.0.1", port: int 
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            if self.path == f"/v1/models/{MODEL_NAME}:refresh":
+                # Management-API analog: re-propagate cached embeddings from
+                # the service's current parameters (e.g. after a checkpoint
+                # reload swapped them in).
+                try:
+                    secs = service.refresh_from_checkpoint()
+                    self._send(200, {"status": "refreshed", "seconds": round(secs, 3)})
+                except Exception as e:
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != f"/v1/models/{MODEL_NAME}:predict":
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return

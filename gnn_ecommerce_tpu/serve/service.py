@@ -89,7 +89,21 @@ class RecommenderService:
         )
         svc = cls(prepared, params, cfg, k=k, mask_mode=mask_mode)
         svc.checkpoint_meta = meta
+        svc._checkpoint_source = (checkpoint_dir, checkpoint_name)
         return svc
+
+    def refresh_from_checkpoint(self) -> float:
+        """Reload the checkpoint this service was built from and re-propagate
+        (the TorchServe management-API 'new model version' analog)."""
+        source = getattr(self, "_checkpoint_source", None)
+        if source is None:
+            raise RuntimeError(
+                "service was not built from a checkpoint directory "
+                "(use from_artifacts, or call refresh(params) directly)"
+            )
+        leaves, meta = load_checkpoint(*source)
+        self.checkpoint_meta = meta
+        return self.refresh({"embedding": jnp.asarray(leaves[0])})
 
     def refresh(self, params: dict) -> float:
         """(Re)propagate and swap the cached final embeddings; returns secs."""

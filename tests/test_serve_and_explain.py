@@ -195,3 +195,41 @@ def test_plot_user_paths(tmp_path):
 
     with pytest.raises(ValueError, match="no hit paths"):
         plot_user_paths(hit_df, user_id=7, n_users=2)
+
+
+def test_refresh_endpoint_from_artifacts(prepared, tmp_path):
+    import jax
+    from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+    from gnn_ecommerce_tpu.serve import RecommenderService, make_server
+    from gnn_ecommerce_tpu.train.checkpoint import save_checkpoint
+
+    cfg = LightGCNConfig(
+        num_nodes=prepared.n_users + prepared.n_items, embedding_dim=8, num_layers=2
+    )
+    params = init_params(jax.random.key(1), cfg)
+    save_prepared(prepared, str(tmp_path / "data"))
+    import optax
+
+    opt_state = optax.adam(1e-3).init(params)
+    save_checkpoint(
+        str(tmp_path / "ckpt"), params, opt_state, epoch=0, precision=0.1,
+        recall=0.2, hyperparams={"latent_dim": 8, "n_layers": 2},
+    )
+    svc = RecommenderService.from_artifacts(
+        str(tmp_path / "data"), str(tmp_path / "ckpt")
+    )
+    assert svc.checkpoint_meta["recall"] == 0.2
+
+    server = make_server(svc, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/models/lightgcn_recommender:refresh",
+            data=b"",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.load(r)["status"] == "refreshed"
+    finally:
+        server.shutdown()
