@@ -33,8 +33,10 @@ class FrameworkConfig:
     event_type_weights: Optional[dict] = None  # explicit override
     # Train hyperparameters (reference tune_config + CLI -e).
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
-    # Parallelism: number of devices to mesh (0 = all visible).
-    mesh_devices: int = 0
+    # Parallelism: devices to mesh for training (1 = single device,
+    # 0 = all visible, N > 1 = explicit count). Mirrored into
+    # TrainConfig.mesh_devices by the train CLI.
+    mesh_devices: int = 1
 
     def weights(self) -> dict:
         return self.event_type_weights or WEIGHT_SCHEMES[self.weight_scheme]

@@ -63,6 +63,9 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, help="override n_layers")
     ap.add_argument("--scheme", choices=sorted(WEIGHT_SCHEMES), help="weight scheme")
     ap.add_argument("--resume", action="store_true", help="resume from last checkpoint")
+    ap.add_argument(
+        "--mesh", type=int, help="devices to mesh (1=single, 0=all visible)"
+    )
     args = ap.parse_args(argv)
 
     cfg = FrameworkConfig.load(args.config) if args.config else FrameworkConfig()
@@ -76,6 +79,9 @@ def main(argv=None):
         cfg.weight_scheme = args.scheme
     if args.resume:
         cfg.train.resume = True
+    if args.mesh is not None:
+        cfg.mesh_devices = args.mesh
+    cfg.train.mesh_devices = cfg.mesh_devices
     cfg.train.checkpoint_dir = cfg.checkpoint_dir
 
     edges = load_edges(args, cfg)

@@ -60,6 +60,10 @@ class TrainConfig:
     # reference has no compute tracing at all).
     profile_dir: Optional[str] = None
     profile_epoch: int = 1  # skip epoch 0 (compile noise)
+    # Devices to train over: 1 = single device (scan-fused epoch), 0 = all
+    # visible devices, N > 1 = a (data x model) mesh with the GSPMD sharded
+    # step (embedding table row-sharded, batches data-sharded).
+    mesh_devices: int = 1
 
     def hyperparams(self) -> dict:
         # Reference key-name parity for checkpoint metadata
@@ -131,13 +135,43 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     train_size = len(prepared.edge_user)
     n_batch = config.batches_per_epoch or max(1, train_size // (config.batch_size * 40))
 
-    _, run_steps = make_train_fns(
-        cfg,
-        optimizer,
-        config.batch_size,
-        config.decay,
-        sample_replace=config.sample_replace,
-    )
+    mesh = None
+    n_mesh = config.mesh_devices if config.mesh_devices != 0 else len(jax.devices())
+    if n_mesh > 1:
+        from ..parallel import make_mesh, make_sharded_train_step, shard_graph, shard_params
+
+        mesh = make_mesh(n_mesh)
+        with mesh:
+            params = shard_params(params, mesh)
+            if start_epoch == 0:  # a resumed opt_state must survive sharding
+                opt_state = optimizer.init(params)
+            graph = shard_graph(graph, mesh)
+            sharded_step = make_sharded_train_step(
+                cfg, optimizer, mesh, config.batch_size, config.decay
+            )
+
+        def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
+            with mesh:
+                acc = None
+                for b in range(n_steps):
+                    params, opt_state, m = sharded_step(
+                        params, opt_state, graph_, sdata_, jax.random.fold_in(key_, b)
+                    )
+                    acc = m if acc is None else {
+                        k: acc[k] + m[k] for k in m
+                    }
+                metrics = {k: v / n_steps for k, v in acc.items()}
+            return params, opt_state, metrics
+
+        log({"msg": f"mesh training: {dict(zip(mesh.axis_names, mesh.devices.shape))}"})
+    else:
+        _, run_steps = make_train_fns(
+            cfg,
+            optimizer,
+            config.batch_size,
+            config.decay,
+            sample_replace=config.sample_replace,
+        )
 
     log(
         {

@@ -61,3 +61,17 @@ def test_deterministic_same_seed(tmp_path):
         np.asarray(r1.params["embedding"]), np.asarray(r2.params["embedding"])
     )
     assert r1.history[-1]["loss"] == r2.history[-1]["loss"]
+
+
+def test_mesh_training_runs_and_learns(tmp_path):
+    """Driver with mesh_devices=8 (GSPMD DP x TP) on the virtual CPU mesh."""
+    prep = make_prepared(seed=6)
+    cfg = TrainConfig(
+        latent_dim=16, n_layers=2, epochs=3, batch_size=256,
+        batches_per_epoch=10, checkpoint_dir=str(tmp_path), lr=0.05,
+        mesh_devices=8,
+    )
+    result = train(prep, cfg, verbose=False)
+    losses = [h["bpr_loss"] for h in result.history]
+    assert losses[-1] < losses[0]
+    assert result.best_val_recall > 0.2
