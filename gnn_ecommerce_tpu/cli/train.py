@@ -66,6 +66,10 @@ def main(argv=None):
     ap.add_argument(
         "--mesh", type=int, help="devices to mesh (1=single, 0=all visible)"
     )
+    ap.add_argument(
+        "--fast", choices=["off", "f32", "bf16"],
+        help="bipartite-factorized propagation (single device)",
+    )
     args = ap.parse_args(argv)
 
     cfg = FrameworkConfig.load(args.config) if args.config else FrameworkConfig()
@@ -81,6 +85,8 @@ def main(argv=None):
         cfg.train.resume = True
     if args.mesh is not None:
         cfg.mesh_devices = args.mesh
+    if args.fast:
+        cfg.train.fast_bipartite = args.fast
     cfg.train.mesh_devices = cfg.mesh_devices
     cfg.train.checkpoint_dir = cfg.checkpoint_dir
 

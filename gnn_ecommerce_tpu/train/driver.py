@@ -64,6 +64,12 @@ class TrainConfig:
     # visible devices, N > 1 = a (data x model) mesh with the GSPMD sharded
     # step (embedding table row-sharded, batches data-sharded).
     mesh_devices: int = 1
+    # Bipartite-factorized propagation (ops/bipartite.py): one-time dense
+    # item-item operator build, then 2 SpMMs per forward instead of 2L —
+    # ~5.6x faster forward at cosmetics scale on one v5e chip. "off",
+    # "f32" (exact), or "bf16" (benchmarked mode, B_ii stored bf16).
+    # Single-device only (the sharded paths keep the layered propagate).
+    fast_bipartite: str = "off"
 
     def hyperparams(self) -> dict:
         # Reference key-name parity for checkpoint metadata
@@ -164,6 +170,38 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             return params, opt_state, metrics
 
         log({"msg": f"mesh training: {dict(zip(mesh.axis_names, mesh.devices.shape))}"})
+    elif config.fast_bipartite != "off":
+        import jax.numpy as jnp
+
+        from ..ops.bipartite import build_fast_bipartite, fast_get_embedding
+
+        t0 = time.perf_counter()
+        fb = build_fast_bipartite(
+            graph,
+            dtype=jnp.bfloat16 if config.fast_bipartite == "bf16" else jnp.float32,
+        )
+        jax.block_until_ready(fb.item_op)
+        log(
+            {
+                "msg": (
+                    f"fast bipartite operator built in "
+                    f"{time.perf_counter() - t0:.1f}s "
+                    f"({fb.item_op.nbytes / 1e9:.2f} GB {config.fast_bipartite})"
+                )
+            }
+        )
+        fast_embed_fn = lambda p, fb_: fast_get_embedding(p, fb_, cfg.num_layers)
+        _, run_steps_fast = make_train_fns(
+            cfg,
+            optimizer,
+            config.batch_size,
+            config.decay,
+            sample_replace=config.sample_replace,
+            embed_fn=fast_embed_fn,
+        )
+        run_steps = lambda p, o, _g, s, k, n: run_steps_fast(p, o, fb, s, k, n)
+        _fast_jit = jax.jit(fast_embed_fn)
+        compute_embedding = lambda p: _fast_jit(p, fb)
     else:
         _, run_steps = make_train_fns(
             cfg,
@@ -172,6 +210,8 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             config.decay,
             sample_replace=config.sample_replace,
         )
+    if mesh is not None or config.fast_bipartite == "off":
+        compute_embedding = lambda p: get_embedding(p, graph, cfg)
 
     log(
         {
@@ -203,7 +243,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             jax.profiler.stop_trace()
             log({"msg": f"profiler trace (epoch {epoch}) -> {config.profile_dir}"})
 
-        final_emb = get_embedding(params, graph, cfg)
+        final_emb = compute_embedding(params)
         precision, recall, _, _, _ = evaluate(
             final_emb, val_batch, prepared.n_users, config.k, mask_mode=config.mask_mode
         )
@@ -254,7 +294,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     if best_epoch >= 0:
         leaves, _ = load_checkpoint(config.checkpoint_dir, BEST_NAME)
         params, opt_state = restore_into(params, opt_state, leaves)
-    final_emb = get_embedding(params, graph, cfg)
+    final_emb = compute_embedding(params)
     test_precision, test_recall, _, _, _ = evaluate(
         final_emb, test_batch, prepared.n_users, config.k, mask_mode=config.mask_mode
     )

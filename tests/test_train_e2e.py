@@ -3,6 +3,8 @@ random, checkpoints round-trip, resume continues (SURVEY.md §4 / BASELINE
 config 2 analog, CPU-sized)."""
 import os
 
+import pytest
+
 import numpy as np
 
 from gnn_ecommerce_tpu.data import synthetic_events, events_to_edges, split_edges, prepare_splits
@@ -75,3 +77,28 @@ def test_mesh_training_runs_and_learns(tmp_path):
     losses = [h["bpr_loss"] for h in result.history]
     assert losses[-1] < losses[0]
     assert result.best_val_recall > 0.2
+
+
+def test_fast_bipartite_training_matches_layered(tmp_path):
+    """fast_bipartite='f32' must give the SAME training trajectory as the
+    layered path (the factorization is exact)."""
+    prep = make_prepared(seed=7)
+    base = dict(latent_dim=8, n_layers=2, epochs=2, batch_size=128,
+                batches_per_epoch=5, lr=0.02)
+    r1 = train(
+        prep, TrainConfig(checkpoint_dir=str(tmp_path / "layered"), **base),
+        verbose=False,
+    )
+    r2 = train(
+        prep,
+        TrainConfig(checkpoint_dir=str(tmp_path / "fast"), fast_bipartite="f32", **base),
+        verbose=False,
+    )
+    np.testing.assert_allclose(
+        [h["loss"] for h in r2.history], [h["loss"] for h in r1.history], rtol=1e-4
+    )
+    assert r2.test_recall == pytest.approx(r1.test_recall, abs=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r2.params["embedding"]), np.asarray(r1.params["embedding"]),
+        rtol=2e-3, atol=2e-5,
+    )
