@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NEG = jnp.float32(-3.0e38)
 
@@ -43,6 +44,15 @@ def topk_scores(
     rows = jnp.arange(bsz)[:, None]
     u32 = user_emb.astype(jnp.float32)
 
+    # Exclusion masking is a vectorized binary search, NOT a scatter: mask
+    # rows are ascending with trailing -1 padding, so mapping -1 -> INT32_MAX
+    # keeps them sorted; per item tile each user row answers membership for
+    # the tile's (shared) item ids in O(T log M) VPU compares. The previous
+    # scatter formulation (`scores.at[rows, local].add`) serialized B x M
+    # updates per tile and dominated full-eval wall clock.
+    big = jnp.int32(np.iinfo(np.int32).max)
+    msorted = jnp.where(mask_idx < 0, big, mask_idx.astype(jnp.int32))
+
     def tile_step(carry, inputs):
         best_v, best_i = carry
         tile_idx, tile_items = inputs
@@ -52,14 +62,19 @@ def topk_scores(
         # Invalidate padding columns.
         col = lo + jnp.arange(item_tile)[None, :]
         scores = jnp.where(col < n_items, scores, _NEG)
-        # Apply the per-user exclusion mask within this tile.
-        local = mask_idx - lo
-        in_tile = (mask_idx >= 0) & (local >= 0) & (local < item_tile)
-        local_c = jnp.clip(local, 0, item_tile - 1)
+        # Membership of the tile's item ids in each user's exclusion row.
+        tile_ids = (lo + jnp.arange(item_tile)).astype(jnp.int32)
+        pos = jax.vmap(lambda row: jnp.searchsorted(row, tile_ids))(msorted)
+        hit = (
+            jnp.take_along_axis(
+                msorted, jnp.clip(pos, 0, msorted.shape[1] - 1), axis=1
+            )
+            == tile_ids[None, :]
+        )
         if mask_mode == "neginf":
-            scores = scores.at[rows, local_c].add(jnp.where(in_tile, _NEG, 0.0))
+            scores = jnp.where(hit, _NEG, scores)
         elif mask_mode == "multiply":
-            scores = scores.at[rows, local_c].multiply(jnp.where(in_tile, 0.0, 1.0))
+            scores = jnp.where(hit, 0.0, scores)
         else:
             raise ValueError(f"unknown mask_mode {mask_mode!r}")
         tv, ti = jax.lax.top_k(scores, k)
