@@ -26,7 +26,7 @@ import numpy as np
 _NEG = jnp.float32(-3.0e38)
 
 
-@partial(jax.jit, static_argnames=("k", "item_tile", "mask_mode"))
+@partial(jax.jit, static_argnames=("k", "item_tile", "mask_mode", "topk_impl"))
 def topk_scores(
     user_emb: jax.Array,   # [B, D] final embeddings of the user tile
     item_emb: jax.Array,   # [I, D] final embeddings of ALL items (local space)
@@ -34,8 +34,14 @@ def topk_scores(
     k: int,
     item_tile: int = 8192,
     mask_mode: str = "neginf",
+    topk_impl: str = "exact",
 ) -> tuple[jax.Array, jax.Array]:
-    """Return (top-k scores [B, k], top-k local item ids [B, k])."""
+    """Return (top-k scores [B, k], top-k local item ids [B, k]).
+
+    ``topk_impl="approx"`` uses ``jax.lax.approx_max_k`` (the TPU-native
+    partial-reduction top-k, recall_target 0.99) for the per-tile selection —
+    a serving-latency option; evaluation parity paths keep "exact".
+    """
     n_items, dim = item_emb.shape
     bsz = user_emb.shape[0]
     n_tiles = -(-n_items // item_tile)
@@ -51,7 +57,9 @@ def topk_scores(
     # scatter formulation (`scores.at[rows, local].add`) serialized B x M
     # updates per tile and dominated full-eval wall clock.
     big = jnp.int32(np.iinfo(np.int32).max)
-    msorted = jnp.where(mask_idx < 0, big, mask_idx.astype(jnp.int32))
+    msorted = jnp.sort(
+        jnp.where(mask_idx < 0, big, mask_idx.astype(jnp.int32)), axis=1
+    )  # rows ascending regardless of where -1 padding sits
 
     def tile_step(carry, inputs):
         best_v, best_i = carry
@@ -77,7 +85,11 @@ def topk_scores(
             scores = jnp.where(hit, 0.0, scores)
         else:
             raise ValueError(f"unknown mask_mode {mask_mode!r}")
-        tv, ti = jax.lax.top_k(scores, k)
+        if topk_impl == "approx":
+            tv, ti = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+            ti = ti.astype(jnp.int32)
+        else:
+            tv, ti = jax.lax.top_k(scores, k)
         merged_v = jnp.concatenate([best_v, tv], axis=1)
         merged_i = jnp.concatenate([best_i, lo + ti], axis=1)
         best_v, sel = jax.lax.top_k(merged_v, k)

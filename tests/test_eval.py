@@ -91,3 +91,45 @@ def test_evaluate_end_to_end(rng):
     np.testing.assert_allclose(recall, np.mean(exp_recalls), atol=1e-6)
     np.testing.assert_allclose(precision, np.mean([r * len(split.truth.row(i)) / k
                                                    for i, r in enumerate(exp_recalls)]), atol=1e-6)
+
+
+def test_approx_topk_high_overlap(rng):
+    import jax.numpy as jnp
+    from gnn_ecommerce_tpu.ops.topk_score import topk_scores
+
+    user = jnp.asarray(rng.standard_normal((16, 24)).astype(np.float32))
+    items = jnp.asarray(rng.standard_normal((500, 24)).astype(np.float32))
+    mask = jnp.full((16, 1), -1, jnp.int32)
+    _, exact = topk_scores(user, items, mask, k=10, item_tile=128)
+    _, approx = topk_scores(user, items, mask, k=10, item_tile=128, topk_impl="approx")
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(np.asarray(exact), np.asarray(approx))
+    ])
+    assert overlap >= 0.9
+
+
+def test_int8_quantized_topk_overlap(rng):
+    import jax.numpy as jnp
+    from gnn_ecommerce_tpu.ops.topk_score import topk_scores
+    from gnn_ecommerce_tpu.serve.quantized import QuantizedCache
+
+    n_users, n_items, dim = 40, 300, 16
+    emb = jnp.asarray(rng.standard_normal((n_users + n_items, dim)).astype(np.float32))
+    mask = np.full((8, 2), -1, np.int32)
+    mask[:, 0] = rng.integers(0, n_items, 8)
+    mask.sort(axis=1)
+    uids = np.arange(8)
+    _, exact = topk_scores(
+        emb[jnp.asarray(uids)], emb[n_users:], jnp.asarray(mask), k=10, item_tile=64
+    )
+    cache = QuantizedCache(emb, n_users)
+    got = cache.recommend(uids, mask, k=10)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(np.asarray(exact), got)
+    ])
+    assert overlap >= 0.9
+    # Masked items never appear.
+    for row, m in zip(got, mask):
+        assert not (set(row.tolist()) & set(m[m >= 0].tolist()))
