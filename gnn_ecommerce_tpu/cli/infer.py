@@ -109,7 +109,9 @@ def main(argv=None):
         items_offset=True,
     )
     print(f"propagating {cfg.num_layers} layers over {graph.num_edges} edges ...")
-    final_emb = get_embedding(params, graph, cfg)
+    # One jitted program (op-by-op dispatch would compile each propagation op
+    # separately — minutes through a remote TPU compile service).
+    final_emb = jax.jit(lambda p, g: get_embedding(p, g, cfg))(params, graph)
 
     split = combined_eval_split(prepared)
     batch = build_eval_batch(split)

@@ -33,6 +33,11 @@ class RecommenderService:
     a prepared-data artifact directory and a checkpoint directory.
     """
 
+    # Request batch sizes are padded up to these buckets so every request
+    # after warmup hits an already-compiled program (remote TPU compiles can
+    # take minutes; the reference has the same class of problem per-worker).
+    BATCH_BUCKETS = (8, 64, 512)
+
     def __init__(
         self,
         prepared: PreparedData,
@@ -40,6 +45,7 @@ class RecommenderService:
         cfg: LightGCNConfig,
         k: int = 20,
         mask_mode: str = "neginf",
+        warm: bool = True,
     ):
         self.prepared = prepared
         self.cfg = cfg
@@ -60,7 +66,14 @@ class RecommenderService:
         self._mask_users = np.asarray(s.users)
         self._mask_indptr = np.asarray(s.pos_indptr)
         self._mask_items = np.asarray(s.pos_flat) - prepared.n_users
+        # Static mask width: the global max purchases per user, so every
+        # request shares one compiled mask shape.
+        self._mask_width = max(1, int(np.diff(self._mask_indptr).max(initial=0)))
         self.refresh(params)
+        if warm:
+            t0 = time.perf_counter()
+            self.recommend([0])  # compile the smallest batch bucket
+            self.warmup_s = time.perf_counter() - t0
 
     @classmethod
     def from_artifacts(
@@ -108,7 +121,10 @@ class RecommenderService:
     def refresh(self, params: dict) -> float:
         """(Re)propagate and swap the cached final embeddings; returns secs."""
         t0 = time.perf_counter()
-        emb = get_embedding(params, self._graph, self.cfg)
+        if not hasattr(self, "_propagate"):
+            cfg = self.cfg
+            self._propagate = jax.jit(lambda p, g: get_embedding(p, g, cfg))
+        emb = self._propagate(params, self._graph)
         emb.block_until_ready()
         with self._lock:
             self.final_emb = emb
@@ -116,14 +132,15 @@ class RecommenderService:
         return self.last_refresh_s
 
     def _request_mask(self, user_ids: np.ndarray) -> np.ndarray:
-        """Per-request [B, M] exclusion mask (-1 padded, local item space)."""
+        """Per-request [B, M] exclusion mask (-1 padded, local item space).
+        M is the service-wide max purchase count (static compile shape)."""
         slots = np.searchsorted(self._mask_users, user_ids)
         slots = np.clip(slots, 0, len(self._mask_users) - 1)
         known = self._mask_users[slots] == user_ids
         lens = np.where(
             known, self._mask_indptr[slots + 1] - self._mask_indptr[slots], 0
         )
-        width = max(1, int(lens.max(initial=0)))
+        width = self._mask_width
         out = np.full((len(user_ids), width), -1, dtype=np.int32)
         rows = np.repeat(np.arange(len(user_ids)), lens)
         starts = np.repeat(self._mask_indptr[slots], lens)
@@ -146,17 +163,23 @@ class RecommenderService:
         if ((ids < 0) | (ids >= self.prepared.n_users)).any():
             bad = ids[(ids < 0) | (ids >= self.prepared.n_users)]
             raise ValueError(f"user ids out of range [0, {self.prepared.n_users}): {bad[:5]}")
-        mask = self._request_mask(ids)
+        # Pad the batch up to a bucket (duplicating user 0) so post-warmup
+        # requests reuse compiled programs; slice back before returning.
+        n = len(ids)
+        bucket = next((b for b in self.BATCH_BUCKETS if b >= n), None)
+        padded_ids = ids if bucket is None else np.pad(ids, (0, bucket - n))
+        mask = self._request_mask(padded_ids)
         with self._lock:
             emb = self.final_emb
-        return recommend_users(
+        out = recommend_users(
             emb,
-            jnp.asarray(ids, jnp.int32),
+            jnp.asarray(padded_ids, jnp.int32),
             jnp.asarray(mask),
             self.prepared.n_users,
             k=k,
             mask_mode=self.mask_mode,
         )
+        return out[:n]
 
     def stats(self) -> dict:
         return {
