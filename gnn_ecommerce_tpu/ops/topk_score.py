@@ -3,9 +3,18 @@
 The reference materializes the FULL score matrix ``src[user_list] @ dst.T``
 on device, downloads it to CPU, multiplies by ``(1 - interactions)`` and runs
 ``topk`` (``src/lightgcn.py:169-182``) — at full scale that is a 1.6M × 54K
-float matrix per eval. This TPU-first design streams item tiles through the
-MXU and keeps a running top-K, never materializing more than
-``[user_tile, item_tile]`` scores; masking is applied per tile.
+float matrix per eval shipped over the wire. This TPU-first design scores one
+USER TILE against all items at a time (a [B, I] tile — ~224 MB at cosmetics
+scale for B=1024, never the 358 GB full matrix), masks with ONE scatter per
+user tile (mask entries are unique per row), and selects top-k on device;
+only [B, k] indices reach the host.
+
+Design note: an earlier variant streamed item tiles with a running top-k and
+per-item-tile mask scatters; the per-tile scatters repeated every mask entry
+once per item tile and dominated eval wall-clock, and a searchsorted-based
+membership rewrite compiled pathologically through the TPU toolchain. One
+full-width matmul + one scatter per user tile is both the fastest and the
+simplest formulation measured.
 
 Masking modes:
 - ``"neginf"`` (default): masked entries get -inf-like scores so they can
@@ -21,9 +30,25 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _NEG = jnp.float32(-3.0e38)
+
+
+def _mask_scores(scores, mask_idx, mask_mode: str):
+    """Apply the per-user exclusion list (one scatter; -1 entries are no-ops)."""
+    n_items = scores.shape[1]
+    rows = jnp.arange(scores.shape[0])[:, None]
+    valid = mask_idx >= 0
+    cols = jnp.clip(mask_idx, 0, n_items - 1)
+    if mask_mode == "neginf":
+        return scores.at[rows, cols].add(
+            jnp.where(valid, _NEG, 0.0), unique_indices=True
+        )
+    if mask_mode == "multiply":
+        return scores.at[rows, cols].multiply(
+            jnp.where(valid, 0.0, 1.0), unique_indices=True
+        )
+    raise ValueError(f"unknown mask_mode {mask_mode!r}")
 
 
 @partial(jax.jit, static_argnames=("k", "item_tile", "mask_mode", "topk_impl"))
@@ -39,63 +64,39 @@ def topk_scores(
     """Return (top-k scores [B, k], top-k local item ids [B, k]).
 
     ``topk_impl="approx"`` uses ``jax.lax.approx_max_k`` (the TPU-native
-    partial-reduction top-k, recall_target 0.99) for the per-tile selection —
-    a serving-latency option; evaluation parity paths keep "exact".
+    partial-reduction top-k, recall_target 0.99) — a serving-latency option;
+    evaluation parity paths keep "exact".
     """
-    n_items, dim = item_emb.shape
-    bsz = user_emb.shape[0]
-    n_tiles = -(-n_items // item_tile)
-    pad = n_tiles * item_tile - n_items
-    items_p = jnp.pad(item_emb, ((0, pad), (0, 0))).reshape(n_tiles, item_tile, dim)
-    rows = jnp.arange(bsz)[:, None]
-    u32 = user_emb.astype(jnp.float32)
+    scores = jnp.dot(
+        user_emb.astype(jnp.float32),
+        item_emb.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )
+    scores = _mask_scores(scores, mask_idx, mask_mode)
+    if topk_impl == "approx":
+        vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+        return vals, idx.astype(jnp.int32)
+    return _tiled_top_k(scores, k, item_tile)
 
-    # Exclusion masking is a vectorized binary search, NOT a scatter: mask
-    # rows are ascending with trailing -1 padding, so mapping -1 -> INT32_MAX
-    # keeps them sorted; per item tile each user row answers membership for
-    # the tile's (shared) item ids in O(T log M) VPU compares. The previous
-    # scatter formulation (`scores.at[rows, local].add`) serialized B x M
-    # updates per tile and dominated full-eval wall clock.
-    big = jnp.int32(np.iinfo(np.int32).max)
-    msorted = jnp.sort(
-        jnp.where(mask_idx < 0, big, mask_idx.astype(jnp.int32)), axis=1
-    )  # rows ascending regardless of where -1 padding sits
 
-    def tile_step(carry, inputs):
-        best_v, best_i = carry
-        tile_idx, tile_items = inputs
-        lo = tile_idx * item_tile
-        scores = jnp.dot(u32, tile_items.astype(jnp.float32).T,
-                         preferred_element_type=jnp.float32)
-        # Invalidate padding columns.
-        col = lo + jnp.arange(item_tile)[None, :]
-        scores = jnp.where(col < n_items, scores, _NEG)
-        # Membership of the tile's item ids in each user's exclusion row.
-        tile_ids = (lo + jnp.arange(item_tile)).astype(jnp.int32)
-        pos = jax.vmap(lambda row: jnp.searchsorted(row, tile_ids))(msorted)
-        hit = (
-            jnp.take_along_axis(
-                msorted, jnp.clip(pos, 0, msorted.shape[1] - 1), axis=1
-            )
-            == tile_ids[None, :]
-        )
-        if mask_mode == "neginf":
-            scores = jnp.where(hit, _NEG, scores)
-        elif mask_mode == "multiply":
-            scores = jnp.where(hit, 0.0, scores)
-        else:
-            raise ValueError(f"unknown mask_mode {mask_mode!r}")
-        if topk_impl == "approx":
-            tv, ti = jax.lax.approx_max_k(scores, k, recall_target=0.99)
-            ti = ti.astype(jnp.int32)
-        else:
-            tv, ti = jax.lax.top_k(scores, k)
-        merged_v = jnp.concatenate([best_v, tv], axis=1)
-        merged_i = jnp.concatenate([best_i, lo + ti], axis=1)
-        best_v, sel = jax.lax.top_k(merged_v, k)
-        best_i = jnp.take_along_axis(merged_i, sel, axis=1)
-        return (best_v, best_i), None
+def _tiled_top_k(scores: jax.Array, k: int, tile: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k via per-tile top-k + candidate merge.
 
-    init = (jnp.full((bsz, k), _NEG), jnp.zeros((bsz, k), jnp.int32))
-    (vals, idx), _ = jax.lax.scan(tile_step, init, (jnp.arange(n_tiles), items_p))
-    return vals, idx
+    ``lax.top_k`` over the full 54K-item row costs ~0.8s per 1024-user tile
+    on v5e (sort-dominated); selecting k per 8K tile and merging the n_tiles·k
+    candidates is exact (a global top-k element is a top-k element of its
+    tile) and ~an order of magnitude cheaper.
+    """
+    bsz, n = scores.shape
+    n_tiles = -(-n // tile)
+    if n_tiles <= 1:
+        return jax.lax.top_k(scores, k)
+    pad = n_tiles * tile - n
+    s = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=_NEG)
+    tv, ti = jax.lax.top_k(s.reshape(bsz, n_tiles, tile), k)
+    cand_v = tv.reshape(bsz, n_tiles * k)
+    cand_i = (ti + (jnp.arange(n_tiles) * tile)[None, :, None]).reshape(
+        bsz, n_tiles * k
+    )
+    vals, sel = jax.lax.top_k(cand_v, k)
+    return vals, jnp.take_along_axis(cand_i, sel, axis=1).astype(jnp.int32)

@@ -36,56 +36,23 @@ def topk_scores_int8(
     user_s: jax.Array,     # [B] f32
     item_q: jax.Array,     # [I, D] int8
     item_s: jax.Array,     # [I] f32
-    mask_idx: jax.Array,   # [B, M] ascending local item ids, -1 padded
+    mask_idx: jax.Array,   # [B, M] local item ids to exclude, -1 padded
     k: int,
-    item_tile: int = 8192,
+    item_tile: int = 8192,  # kept for API compatibility; unused
 ) -> tuple[jax.Array, jax.Array]:
-    """Blocked top-k over int8 embeddings (neginf masking)."""
-    n_items, dim = item_q.shape
-    bsz = user_q.shape[0]
-    n_tiles = -(-n_items // item_tile)
-    pad = n_tiles * item_tile - n_items
-    items_p = jnp.pad(item_q, ((0, pad), (0, 0))).reshape(n_tiles, item_tile, dim)
-    scales_p = jnp.pad(item_s, (0, pad)).reshape(n_tiles, item_tile)
-    big = jnp.int32(np.iinfo(np.int32).max)
-    msorted = jnp.sort(
-        jnp.where(mask_idx < 0, big, mask_idx.astype(jnp.int32)), axis=1
-    )  # rows ascending regardless of where -1 padding sits
+    """Top-k over int8 embeddings (neginf masking, one scatter per call)."""
+    del item_tile
+    from ..ops.topk_score import _mask_scores
 
-    def tile_step(carry, inputs):
-        best_v, best_i = carry
-        tile_idx, tile_items, tile_scales = inputs
-        lo = tile_idx * item_tile
-        acc = jax.lax.dot_general(
-            user_q,
-            tile_items.T,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        scores = acc.astype(jnp.float32) * user_s[:, None] * tile_scales[None, :]
-        col = lo + jnp.arange(item_tile)[None, :]
-        scores = jnp.where(col < n_items, scores, _NEG)
-        tile_ids = (lo + jnp.arange(item_tile)).astype(jnp.int32)
-        pos = jax.vmap(lambda row: jnp.searchsorted(row, tile_ids))(msorted)
-        hit = (
-            jnp.take_along_axis(
-                msorted, jnp.clip(pos, 0, msorted.shape[1] - 1), axis=1
-            )
-            == tile_ids[None, :]
-        )
-        scores = jnp.where(hit, _NEG, scores)
-        tv, ti = jax.lax.top_k(scores, k)
-        merged_v = jnp.concatenate([best_v, tv], axis=1)
-        merged_i = jnp.concatenate([best_i, lo + ti], axis=1)
-        best_v, sel = jax.lax.top_k(merged_v, k)
-        best_i = jnp.take_along_axis(merged_i, sel, axis=1)
-        return (best_v, best_i), None
-
-    init = (jnp.full((bsz, k), _NEG), jnp.zeros((bsz, k), jnp.int32))
-    (vals, idx), _ = jax.lax.scan(
-        tile_step, init, (jnp.arange(n_tiles), items_p, scales_p)
+    acc = jax.lax.dot_general(
+        user_q,
+        item_q.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
     )
-    return vals, idx
+    scores = acc.astype(jnp.float32) * user_s[:, None] * item_s[None, :]
+    scores = _mask_scores(scores, mask_idx, "neginf")
+    return jax.lax.top_k(scores, k)
 
 
 class QuantizedCache:
