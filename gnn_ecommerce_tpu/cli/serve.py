@@ -26,11 +26,16 @@ def main(argv=None):
     ap.add_argument("-p", "--port", type=int, default=8080)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("-k", type=int, default=20)
+    ap.add_argument(
+        "--quantized", action="store_true",
+        help="serve int8-quantized embeddings (4x less HBM traffic)",
+    )
     args = ap.parse_args(argv)
 
     print("loading artifacts + propagating embeddings ...")
     service = RecommenderService.from_artifacts(
-        args.data_dir, args.checkpoint_dir, args.checkpoint_name, k=args.k
+        args.data_dir, args.checkpoint_dir, args.checkpoint_name, k=args.k,
+        quantized=args.quantized
     )
     print(f"ready ({service.stats()})")
     serve_forever(service, args.host, args.port)

@@ -46,11 +46,13 @@ class RecommenderService:
         k: int = 20,
         mask_mode: str = "neginf",
         warm: bool = True,
+        quantized: bool = False,
     ):
         self.prepared = prepared
         self.cfg = cfg
         self.k = k
         self.mask_mode = mask_mode
+        self.quantized = quantized
         self._lock = threading.Lock()
         self._graph = build_graph(
             prepared.edge_user,
@@ -83,6 +85,7 @@ class RecommenderService:
         checkpoint_name: str = BEST_NAME,
         k: int = 20,
         mask_mode: str = "neginf",
+        quantized: bool = False,
     ) -> "RecommenderService":
         prepared = load_prepared(data_dir)
         leaves, meta = load_checkpoint(checkpoint_dir, checkpoint_name)
@@ -100,7 +103,7 @@ class RecommenderService:
             f"checkpoint embedding {leaves[0].shape} != config "
             f"{(cfg.num_nodes, cfg.embedding_dim)}"
         )
-        svc = cls(prepared, params, cfg, k=k, mask_mode=mask_mode)
+        svc = cls(prepared, params, cfg, k=k, mask_mode=mask_mode, quantized=quantized)
         svc.checkpoint_meta = meta
         svc._checkpoint_source = (checkpoint_dir, checkpoint_name)
         return svc
@@ -126,8 +129,14 @@ class RecommenderService:
             self._propagate = jax.jit(lambda p, g: get_embedding(p, g, cfg))
         emb = self._propagate(params, self._graph)
         emb.block_until_ready()
+        qcache = None
+        if self.quantized:
+            from .quantized import QuantizedCache
+
+            qcache = QuantizedCache(emb, self.prepared.n_users)
         with self._lock:
             self.final_emb = emb
+            self._qcache = qcache
         self.last_refresh_s = time.perf_counter() - t0
         return self.last_refresh_s
 
@@ -171,6 +180,9 @@ class RecommenderService:
         mask = self._request_mask(padded_ids)
         with self._lock:
             emb = self.final_emb
+            qcache = self._qcache
+        if qcache is not None:
+            return qcache.recommend(padded_ids, mask, k=k)[:n]
         out = recommend_users(
             emb,
             jnp.asarray(padded_ids, jnp.int32),
@@ -189,5 +201,6 @@ class RecommenderService:
             "embedding_dim": int(self.cfg.embedding_dim),
             "num_layers": int(self.cfg.num_layers),
             "k": self.k,
+            "quantized": bool(self.quantized),
             "last_refresh_s": round(self.last_refresh_s, 4),
         }

@@ -233,3 +233,28 @@ def test_refresh_endpoint_from_artifacts(prepared, tmp_path):
             assert json.load(r)["status"] == "refreshed"
     finally:
         server.shutdown()
+
+
+def test_quantized_service_recommend(prepared):
+    import jax
+    from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+    from gnn_ecommerce_tpu.serve import RecommenderService
+
+    cfg = LightGCNConfig(
+        num_nodes=prepared.n_users + prepared.n_items, embedding_dim=16, num_layers=2
+    )
+    params = init_params(jax.random.key(0), cfg)
+    svc = RecommenderService(prepared, params, cfg, k=10, quantized=True)
+    assert svc.stats()["quantized"] is True
+    users = np.asarray(prepared.sampler.users[:4])
+    recs = svc.recommend(users)
+    assert recs.shape == (4, 10)
+    # Purchased items still masked through the quantized path.
+    for row, u in zip(recs, users):
+        slot = np.searchsorted(prepared.sampler.users, u)
+        purchased = set(
+            (prepared.sampler.pos_flat[
+                prepared.sampler.pos_indptr[slot] : prepared.sampler.pos_indptr[slot + 1]
+            ] - prepared.n_users).tolist()
+        )
+        assert not (set(row.tolist()) & purchased)
