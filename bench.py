@@ -192,11 +192,16 @@ def main():
     sdata = make_sampler_data(arrays, N_USERS, N_ITEMS)
     optimizer = optax.adam(0.005)
     opt_state = optimizer.init(params)
+    from gnn_ecommerce_tpu.ops.bipartite import fast_batch_embeddings
+
+    edge_cap = 64 * BATCH  # ~10x expected batch degree sum; overflow counted
     _, run_steps = make_train_fns(
         cfg, optimizer, BATCH, decay=1e-4,
-        embed_fn=lambda p, fb_: fast_get_embedding(p, fb_, LAYERS),
+        batch_embed_fn=lambda p, fb_, us, po, ne: fast_batch_embeddings(
+            p, fb_, LAYERS, us, po, ne, edge_cap=edge_cap
+        ),
     )
-    log("compiling train steps ...")
+    log("compiling train steps (batched fast path) ...")
     params, opt_state, m = run_steps(params, opt_state, fb, sdata, jax.random.key(1), 5)
     jax.block_until_ready(params)
     t0 = time.perf_counter()
@@ -206,7 +211,10 @@ def main():
     )
     float(m["loss"])  # scalar readback = reliable completion barrier
     step_s = (time.perf_counter() - t0) / reps_steps
-    log(f"train step: {step_s*1e3:.1f} ms (bpr={float(m['bpr_loss']):.4f})")
+    log(
+        f"train step: {step_s*1e3:.1f} ms (bpr={float(m['bpr_loss']):.4f}, "
+        f"dropped_arcs={float(m['dropped_arcs']):.1f})"
+    )
 
     # --- eval ---
     ev_users = pos_users[:EVAL_USERS].astype(np.int64)

@@ -52,6 +52,7 @@ class BipartiteSplit:
     iu_src_item: jax.Array   # [E] local item ids
     iu_dst_user: jax.Array   # [E] user ids
     iu_w: jax.Array          # [E] normalized weights
+    iu_indptr: jax.Array     # [n_users+1] CSR offsets into the iu arrays
     # users → items (output items): sorted by dst item
     ui_src_user: jax.Array   # [E] user ids
     ui_dst_item: jax.Array   # [E] local item ids
@@ -63,11 +64,16 @@ class BipartiteSplit:
 def split_graph(graph: BipartiteGraph) -> BipartiteSplit:
     n_users = graph.n_users
     # Unified arcs are sorted by dst; user-destinations are the prefix.
-    n_iu = int(np.searchsorted(np.asarray(graph.dst), n_users))
+    dst_host = np.asarray(graph.dst)
+    n_iu = int(np.searchsorted(dst_host, n_users))
+    iu_indptr = np.searchsorted(
+        dst_host[:n_iu], np.arange(n_users + 1, dtype=np.int64)
+    ).astype(np.int32)
     return BipartiteSplit(
         iu_src_item=graph.src[:n_iu] - n_users,
         iu_dst_user=graph.dst[:n_iu],
         iu_w=graph.w_norm[:n_iu],
+        iu_indptr=jnp.asarray(iu_indptr),
         ui_src_user=graph.src[n_iu:],
         ui_dst_item=graph.dst[n_iu:] - n_users,
         ui_w=graph.w_norm[n_iu:],
@@ -355,22 +361,13 @@ def make_pallas_to_users(split: BipartiteSplit, table_dtype=jnp.bfloat16, **kwar
     return f
 
 
-def fast_get_embedding(
-    params: dict,
-    fb: FastBipartite,
-    num_layers: int,
-    alpha=None,
-    to_users_fn=None,
-) -> jax.Array:
-    """Alpha-weighted LightGCN embedding via the 2-SpMM factorization.
+def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
+    """Shared core of the fast paths: the item-side layer chain.
 
-    Exact restructure of reference ``get_embedding`` (``src/lightgcn.py:
-    91-99``); see module docstring for the algebra. Returns the unified
-    [n_users + n_items, D] final embedding. ``to_users_fn`` (e.g. from
-    :func:`make_pallas_to_users`) overrides the XLA segment-sum to_users.
+    Returns (E_u, out_i, S_i) where out_i is the full [n_items, D] final item
+    embedding and S_i the alpha-weighted item source that to_users consumes
+    (module docstring algebra).
     """
-    if alpha is None:
-        alpha = jnp.full((num_layers + 1,), 1.0 / (num_layers + 1), jnp.float32)
     E = params["embedding"]
     n_users = fb.n_users
     E_u, E_i = E[:n_users], E[n_users:]
@@ -402,8 +399,89 @@ def fast_get_embedding(
 
     out_i = sum(alpha[l] * i_seq[l] for l in range(num_layers + 1))
     S_i = sum(alpha[l] * i_seq[l - 1] for l in range(1, num_layers + 1))
+    return E_u, out_i, S_i
+
+
+def fast_get_embedding(
+    params: dict,
+    fb: FastBipartite,
+    num_layers: int,
+    alpha=None,
+    to_users_fn=None,
+) -> jax.Array:
+    """Alpha-weighted LightGCN embedding via the 2-SpMM factorization.
+
+    Exact restructure of reference ``get_embedding`` (``src/lightgcn.py:
+    91-99``); see module docstring for the algebra. Returns the unified
+    [n_users + n_items, D] final embedding. ``to_users_fn`` (e.g. from
+    :func:`make_pallas_to_users`) overrides the XLA segment-sum to_users.
+    """
+    if alpha is None:
+        alpha = jnp.full((num_layers + 1,), 1.0 / (num_layers + 1), jnp.float32)
+    E = params["embedding"]
+    E_u, out_i, S_i = _item_chain(params, fb, num_layers, alpha)
     users_of = to_users_fn if to_users_fn is not None else (
         lambda s: to_users(s, fb.split)
     )
     out_u = alpha[0] * E_u.astype(jnp.float32) + users_of(S_i)
     return jnp.concatenate([out_u, out_i], axis=0).astype(E.dtype)
+
+
+def fast_batch_embeddings(
+    params: dict,
+    fb: FastBipartite,
+    num_layers: int,
+    users: jax.Array,
+    pos: jax.Array,
+    neg: jax.Array,
+    edge_cap: int,
+    alpha=None,
+):
+    """Final embeddings for ONE BPR batch — the training-step fast path.
+
+    The full forward runs two |E|-sized SpMMs; with descriptor-rate-limited
+    gathers (~60M rows/s on this chip) those dominate the train step. But a
+    BPR step only reads ``out_u`` at the [B] batch users (the reference
+    indexes the full propagated table, ``src/lightgcn.py:118-125`` via
+    ``train_lightgcn.py:137-141``), so the to_users side shrinks from all
+    10.16M arcs to the batch users' own arcs (~6 per user): gather their CSR
+    rows into a fixed ``edge_cap`` buffer and segment-sum by batch slot.
+    Items still need the full chain (S_i feeds every user), so to_items
+    stays global — per train step this removes the full to_users from the
+    forward AND (by vjp symmetry) the full to_items from the backward,
+    halving the sparse work.
+
+    Returns (u_out, p_out, n_out, dropped): [B, D] f32 final embeddings for
+    the batch users / positive items / negative items (node-space ids for
+    pos/neg, as sampled), and the number of batch arcs dropped because the
+    batch's total degree exceeded ``edge_cap`` (0 in any healthy config —
+    size edge_cap >> B·mean_degree; it is reported as a train metric).
+    """
+    if alpha is None:
+        alpha = jnp.full((num_layers + 1,), 1.0 / (num_layers + 1), jnp.float32)
+    E_u, out_i, S_i = _item_chain(params, fb, num_layers, alpha)
+    split = fb.split
+    B = users.shape[0]
+
+    # Batch users' arc slices from the per-user CSR over the iu direction.
+    start = split.iu_indptr[users]
+    deg = split.iu_indptr[users + 1] - start
+    cum = jnp.cumsum(deg)
+    total = cum[-1]
+    k = jnp.arange(edge_cap, dtype=jnp.int32)
+    slot = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
+    slot_c = jnp.minimum(slot, B - 1)
+    valid = k < total
+    base = cum - deg
+    e_idx = jnp.where(valid, start[slot_c] + (k - base[slot_c]), 0)
+    item = split.iu_src_item[e_idx]
+    w = jnp.where(valid, split.iu_w[e_idx], 0.0)
+    msgs = S_i[item] * w[:, None]
+    agg = jax.ops.segment_sum(msgs, slot_c, num_segments=B, indices_are_sorted=True)
+    u_out = alpha[0] * E_u[users].astype(jnp.float32) + agg
+
+    n_users = split.n_users
+    p_out = out_i[pos - n_users]
+    n_out = out_i[neg - n_users]
+    dropped = jnp.maximum(total - edge_cap, 0)
+    return u_out, p_out, n_out, dropped

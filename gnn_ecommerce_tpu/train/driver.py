@@ -70,6 +70,11 @@ class TrainConfig:
     # "f32" (exact), or "bf16" (benchmarked mode, B_ii stored bf16).
     # Single-device only (the sharded paths keep the layered propagate).
     fast_bipartite: str = "off"
+    # Static capacity (arcs) of the batched train forward's user-edge buffer
+    # (ops/bipartite.fast_batch_embeddings). 0 -> auto: max(64*batch, 8192),
+    # ~10x the expected batch degree sum; overflow is counted per step and
+    # logged as dropped_arcs. Only used when fast_bipartite != "off".
+    batch_edge_cap: int = 0
 
     def hyperparams(self) -> dict:
         # Reference key-name parity for checkpoint metadata
@@ -190,7 +195,10 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
                 )
             }
         )
+        from ..ops.bipartite import fast_batch_embeddings
+
         fast_embed_fn = lambda p, fb_: fast_get_embedding(p, fb_, cfg.num_layers)
+        edge_cap = config.batch_edge_cap or max(64 * config.batch_size, 8192)
         _, run_steps_fast = make_train_fns(
             cfg,
             optimizer,
@@ -198,6 +206,9 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             config.decay,
             sample_replace=config.sample_replace,
             embed_fn=fast_embed_fn,
+            batch_embed_fn=lambda p, fb_, u, po, ne: fast_batch_embeddings(
+                p, fb_, cfg.num_layers, u, po, ne, edge_cap=edge_cap
+            ),
         )
         run_steps = lambda p, o, _g, s, k, n: run_steps_fast(p, o, fb, s, k, n)
         _fast_jit = jax.jit(fast_embed_fn)
@@ -255,6 +266,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             "loss": float(metrics["loss"]),
             "val_precision": precision,
             "val_recall": recall,
+            "dropped_arcs": float(metrics.get("dropped_arcs", 0.0)),
             "train_s": t_train,
             "epoch_s": t_total,
             "edges_per_s": graph.num_arcs

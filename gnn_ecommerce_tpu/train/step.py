@@ -37,6 +37,7 @@ def make_train_fns(
     propagate_fn: Callable = propagate_segment,
     sample_replace: bool = True,
     embed_fn: Callable | None = None,
+    batch_embed_fn: Callable | None = None,
 ):
     """Build (train_step, run_steps) jitted functions.
 
@@ -48,27 +49,42 @@ def make_train_fns(
     ``embed_fn(params, graph) -> final_embedding`` overrides the layered
     propagation (e.g. with ``ops.bipartite.fast_get_embedding`` where
     ``graph`` is then a ``FastBipartite``).
+
+    ``batch_embed_fn(params, graph, users, pos, neg) -> (u, p, n, dropped)``
+    overrides both: it produces the batch triplet's FINAL embeddings directly
+    (e.g. ``ops.bipartite.fast_batch_embeddings``), skipping the full-table
+    to_users SpMM that a whole-graph forward pays per step. ``dropped`` (arcs
+    beyond the path's static edge capacity) is surfaced as a train metric.
     """
     if embed_fn is None:
         embed_fn = lambda params, graph: get_embedding(params, graph, cfg, propagate_fn)
 
     def loss_fn(params, graph, users, pos, neg):
-        out = embed_fn(params, graph)
-        u, p, n = out[users], out[pos], out[neg]
+        if batch_embed_fn is not None:
+            u, p, n, dropped = batch_embed_fn(params, graph, users, pos, neg)
+        else:
+            out = embed_fn(params, graph)
+            u, p, n = out[users], out[pos], out[neg]
+            dropped = jnp.int32(0)
         pos_scores = jnp.sum(u * p, axis=-1)
         neg_scores = jnp.sum(u * n, axis=-1)
         bpr = bpr_loss(pos_scores, neg_scores)
         reg = reg_loss(params["embedding"], users, pos, neg, decay)
-        return bpr + reg, (bpr, reg)
+        return bpr + reg, (bpr, reg, dropped)
 
     def _step(params, opt_state, graph, sdata: BprSamplerData, key):
         users, pos, neg = sample_batch(key, sdata, batch_size, replace=sample_replace)
-        (loss, (bpr, reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (bpr, reg, dropped)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, graph, users, pos, neg
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        metrics = {"loss": loss, "bpr_loss": bpr, "reg_loss": reg}
+        metrics = {
+            "loss": loss,
+            "bpr_loss": bpr,
+            "reg_loss": reg,
+            "dropped_arcs": jnp.asarray(dropped, jnp.float32),
+        }
         return params, opt_state, metrics
 
     train_step = jax.jit(_step, donate_argnums=(0, 1))

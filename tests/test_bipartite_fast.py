@@ -125,6 +125,101 @@ def test_fast_training_step_runs(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.parametrize("num_layers", [1, 3, 4])
+def test_batch_embeddings_match_full(setup, num_layers, rng):
+    from gnn_ecommerce_tpu.ops.bipartite import fast_batch_embeddings
+
+    g, params = setup
+    fb = build_fast_bipartite(g, dtype=jnp.float32)
+    full = np.asarray(fast_get_embedding(params, fb, num_layers))
+    B = 16
+    users = jnp.asarray(rng.integers(0, g.n_users, B), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, g.n_items, B) + g.n_users, jnp.int32)
+    neg = jnp.asarray(rng.integers(0, g.n_items, B) + g.n_users, jnp.int32)
+    u, p, n, dropped = fast_batch_embeddings(
+        params, fb, num_layers, users, pos, neg, edge_cap=4096
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(u), full[np.asarray(users)], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p), full[np.asarray(pos)], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n), full[np.asarray(neg)], rtol=1e-5, atol=1e-6)
+
+
+def test_batch_embeddings_gradients_match_full(setup, rng):
+    from gnn_ecommerce_tpu.ops.bipartite import fast_batch_embeddings
+
+    g, params = setup
+    fb = build_fast_bipartite(g, dtype=jnp.float32)
+    B = 16
+    users = jnp.asarray(rng.integers(0, g.n_users, B), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, g.n_items, B) + g.n_users, jnp.int32)
+    neg = jnp.asarray(rng.integers(0, g.n_items, B) + g.n_users, jnp.int32)
+
+    def loss_full(p_):
+        out = fast_get_embedding(p_, fb, 3)
+        u, p, n = out[users], out[pos], out[neg]
+        return jnp.sum(jax.nn.log_sigmoid(jnp.sum(u * (p - n), -1)))
+
+    def loss_batch(p_):
+        u, p, n, _ = fast_batch_embeddings(p_, fb, 3, users, pos, neg, edge_cap=4096)
+        return jnp.sum(jax.nn.log_sigmoid(jnp.sum(u * (p - n), -1)))
+
+    g_full = jax.grad(loss_full)(params)["embedding"]
+    g_batch = jax.grad(loss_batch)(params)["embedding"]
+    np.testing.assert_allclose(
+        np.asarray(g_batch), np.asarray(g_full), rtol=2e-4, atol=2e-6
+    )
+
+
+def test_batch_embeddings_edge_cap_drop_counted(setup, rng):
+    from gnn_ecommerce_tpu.ops.bipartite import fast_batch_embeddings
+
+    g, params = setup
+    fb = build_fast_bipartite(g, dtype=jnp.float32)
+    users = jnp.asarray(rng.integers(0, g.n_users, 32), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, g.n_items, 32) + g.n_users, jnp.int32)
+    _, _, _, dropped = fast_batch_embeddings(
+        params, fb, 2, users, pos, pos, edge_cap=8
+    )
+    assert int(dropped) > 0  # 32 users can't fit in 8 arc slots here
+
+
+def test_batch_training_step_runs(setup):
+    import optax
+    from gnn_ecommerce_tpu.ops.bipartite import fast_batch_embeddings
+    from gnn_ecommerce_tpu.train import make_train_fns
+    from gnn_ecommerce_tpu.sampling import make_sampler_data
+    from gnn_ecommerce_tpu.data.prepare import SamplerArrays
+
+    g, params = setup
+    cfg = LightGCNConfig(num_nodes=g.num_nodes, embedding_dim=24, num_layers=3)
+    fb = build_fast_bipartite(g, dtype=jnp.float32)
+    src, dst = np.asarray(g.src), np.asarray(g.dst)
+    m = dst < g.n_users
+    users, first = np.unique(dst[m], return_index=True)
+    pos = src[m][first]
+    arrays = SamplerArrays(
+        users=users.astype(np.int64),
+        pos_indptr=np.arange(len(users) + 1),
+        pos_flat=pos.astype(np.int64),
+        ign_indptr=np.arange(len(users) + 1),
+        ign_flat=pos.astype(np.int64),
+    )
+    sdata = make_sampler_data(arrays, g.n_users, g.n_items)
+    optimizer = optax.adam(1e-2)
+    step, run_steps = make_train_fns(
+        cfg, optimizer, batch_size=32, decay=1e-4,
+        batch_embed_fn=lambda p, fb_, u, po, ne: fast_batch_embeddings(
+            p, fb_, cfg.num_layers, u, po, ne, edge_cap=2048
+        ),
+    )
+    p, o, metrics = step(params, optimizer.init(params), fb, sdata, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["dropped_arcs"]) == 0.0
+    p, o, metrics = run_steps(p, o, fb, sdata, jax.random.key(1), 3)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_item_operator_banded(setup):
     """Multi-band accumulation (small band_bytes forces >= 3 bands) must be
     exact vs the single-band build, including the heavy/dense path."""
