@@ -378,6 +378,7 @@ def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
     # PAIR of layers instead of once per layer.
     i_seq = [E_i.astype(jnp.float32), to_items(E_u, fb.split)]
     B = fb.item_op
+    n_items = E_i.shape[0]  # B may carry zero row-padding (mesh divisibility)
     D = E_i.shape[1]
     l = 2
     while l <= num_layers:
@@ -385,7 +386,7 @@ def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
             both = jnp.concatenate(
                 [i_seq[l - 2].astype(B.dtype), i_seq[l - 1].astype(B.dtype)], axis=1
             )
-            nxt = jnp.dot(B, both, preferred_element_type=jnp.float32)
+            nxt = jnp.dot(B, both, preferred_element_type=jnp.float32)[:n_items]
             i_seq.append(nxt[:, :D])
             i_seq.append(nxt[:, D:])
             l += 2
@@ -393,7 +394,7 @@ def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
             i_seq.append(
                 jnp.dot(
                     B, i_seq[l - 2].astype(B.dtype), preferred_element_type=jnp.float32
-                )
+                )[:n_items]
             )
             l += 1
 

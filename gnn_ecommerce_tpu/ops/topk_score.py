@@ -65,7 +65,8 @@ def topk_scores(
 
     ``topk_impl="approx"`` uses ``jax.lax.approx_max_k`` (the TPU-native
     partial-reduction top-k, recall_target 0.99) — a serving-latency option;
-    evaluation parity paths keep "exact".
+    evaluation parity paths keep "exact" (tile-max-pruned, still exact);
+    ``topk_impl="tiled"`` keeps the per-tile-sort variant for comparison.
     """
     scores = jnp.dot(
         user_emb.astype(jnp.float32),
@@ -76,7 +77,9 @@ def topk_scores(
     if topk_impl == "approx":
         vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
         return vals, idx.astype(jnp.int32)
-    return _tiled_top_k(scores, k, item_tile)
+    if topk_impl == "tiled":
+        return _tiled_top_k(scores, k, item_tile)
+    return _hier_top_k(scores, k)
 
 
 def _tiled_top_k(scores: jax.Array, k: int, tile: int) -> tuple[jax.Array, jax.Array]:
@@ -100,3 +103,35 @@ def _tiled_top_k(scores: jax.Array, k: int, tile: int) -> tuple[jax.Array, jax.A
     )
     vals, sel = jax.lax.top_k(cand_v, k)
     return vals, jnp.take_along_axis(cand_i, sel, axis=1).astype(jnp.int32)
+
+
+def _hier_top_k(
+    scores: jax.Array, k: int, tile: int = 128
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k via tile-max pruning — sorts ~k·tile elements per row.
+
+    Every true top-k element lives in one of the k tiles with the largest
+    per-tile MAX: if element x sat in a tile outside that set, each of the k
+    selected tiles would hold an element (its max) ≥ tile-max(x) ≥ x — k
+    elements beating x, so x is not top-k (tie-consistent with any top-k).
+    So: one cheap max-reduction pass over the row, a k-of-T tile select, a
+    gather of k·tile candidates, and one small sort — instead of sorting
+    every tile of the row. ~20x less sort work than per-tile top-k at
+    k=20, tile=128, n=54.6K.
+    """
+    bsz, n = scores.shape
+    n_tiles = -(-n // tile)
+    if n_tiles <= k or n <= 2 * k * tile:
+        return jax.lax.top_k(scores, k)
+    pad = n_tiles * tile - n
+    s3 = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=_NEG).reshape(
+        bsz, n_tiles, tile
+    )
+    tmax = jnp.max(s3, axis=-1)                       # [B, T]
+    _, top_tiles = jax.lax.top_k(tmax, k)             # [B, k]
+    cand = jnp.take_along_axis(s3, top_tiles[:, :, None], axis=1)  # [B, k, tile]
+    vals, sel = jax.lax.top_k(cand.reshape(bsz, k * tile), k)
+    idx = (
+        jnp.take_along_axis(top_tiles, sel // tile, axis=1) * tile + sel % tile
+    )
+    return vals, idx.astype(jnp.int32)

@@ -1,5 +1,11 @@
 from .mesh import make_mesh, mesh_factorization
-from .sharded_train import make_sharded_train_step, shard_graph, shard_params
+from .sharded_train import (
+    make_sharded_fast_train_step,
+    make_sharded_train_step,
+    shard_fast_bipartite,
+    shard_graph,
+    shard_params,
+)
 from .edge_partition import (
     EdgePartition,
     build_edge_partition,
@@ -11,6 +17,8 @@ __all__ = [
     "make_mesh",
     "mesh_factorization",
     "make_sharded_train_step",
+    "make_sharded_fast_train_step",
+    "shard_fast_bipartite",
     "shard_graph",
     "shard_params",
     "EdgePartition",

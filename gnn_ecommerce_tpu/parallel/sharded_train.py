@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..graph.build import BipartiteGraph
 from ..models.lightgcn import LightGCNConfig, get_embedding
 from ..models.losses import bpr_loss, reg_loss
+from ..ops.bipartite import BipartiteSplit, FastBipartite, fast_batch_embeddings
 from ..ops.propagate import propagate_segment
 from ..sampling.bpr import BprSamplerData, sample_batch
 
@@ -52,6 +53,110 @@ def shard_graph(graph: BipartiteGraph, mesh: Mesh) -> BipartiteGraph:
         n_users=graph.n_users,
         n_items=graph.n_items,
     )
+
+
+def shard_fast_bipartite(fb: FastBipartite, mesh: Mesh) -> FastBipartite:
+    """Place the fast-bipartite structures on the mesh.
+
+    - ``item_op`` (B_ii, the memory-dominant 6 GB-at-scale operator): ROW-
+      sharded over ``model`` — the dense chain matmuls shard their output
+      rows with zero communication (each chip multiplies its row band
+      against the replicated [I, D] activations);
+    - arc arrays: sharded over ``data`` (contiguous destination ranges, as
+      in :func:`shard_graph`), partial segment-sums reduced by GSPMD;
+    - per-user CSR offsets: replicated (4 bytes/user).
+    """
+    arc = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P("model", None))
+    s = fb.split
+    n_data = mesh.shape["data"]
+    e = int(s.iu_w.shape[0])
+    pad = (-e) % n_data
+
+    def padded(x, fill):
+        # No-op tail arcs: w = 0 and destinations OUT OF RANGE, so the sorted-
+        # destination promise holds and segment_sum drops them; sources are 0
+        # (their gathered rows are zeroed by w). iu_indptr still covers only
+        # the real arcs, so the batched CSR path never touches the tail.
+        if pad == 0:
+            return jax.device_put(x, arc)
+        return jax.device_put(
+            jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]), arc
+        )
+
+    split = BipartiteSplit(
+        iu_src_item=padded(s.iu_src_item, 0),
+        iu_dst_user=padded(s.iu_dst_user, s.n_users),
+        iu_w=padded(s.iu_w, 0),
+        iu_indptr=jax.device_put(s.iu_indptr, rep),
+        ui_src_user=padded(s.ui_src_user, 0),
+        ui_dst_item=padded(s.ui_dst_item, s.n_items),
+        ui_w=padded(s.ui_w, 0),
+        n_users=s.n_users,
+        n_items=s.n_items,
+    )
+    item_op = fb.item_op
+    n_model = mesh.shape["model"]
+    rpad = (-int(item_op.shape[0])) % n_model
+    if rpad:
+        item_op = jnp.concatenate(
+            [item_op, jnp.zeros((rpad, item_op.shape[1]), item_op.dtype)]
+        )
+    return FastBipartite(split=split, item_op=jax.device_put(item_op, row))
+
+
+def make_sharded_fast_train_step(
+    cfg: LightGCNConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    batch_size: int,
+    decay: float,
+    edge_cap: int,
+):
+    """pjit train step over the bipartite-factorized fast path.
+
+    Same signature contract as :func:`make_sharded_train_step` but ``graph``
+    is a :func:`shard_fast_bipartite`-placed ``FastBipartite``; the forward
+    is the batched training path (``ops.bipartite.fast_batch_embeddings``) —
+    to_items sharded over data-axis arcs, the B_ii chain sharded over
+    model-axis rows, batch aggregation on replicated [B]-sized structures.
+    """
+    emb_s = NamedSharding(mesh, P("model", None))
+    batch_s = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params, fb, users, pos, neg):
+        u, p, n, dropped = fast_batch_embeddings(
+            params, fb, cfg.num_layers, users, pos, neg, edge_cap
+        )
+        pos_scores = jnp.sum(u * p, axis=-1)
+        neg_scores = jnp.sum(u * n, axis=-1)
+        bpr = bpr_loss(pos_scores, neg_scores)
+        reg = reg_loss(params["embedding"], users, pos, neg, decay)
+        return bpr + reg, (bpr, reg, dropped)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, fb: FastBipartite, sdata: BprSamplerData, key):
+        users, pos, neg = sample_batch(key, sdata, batch_size)
+        users = jax.lax.with_sharding_constraint(users, batch_s)
+        pos = jax.lax.with_sharding_constraint(pos, batch_s)
+        neg = jax.lax.with_sharding_constraint(neg, batch_s)
+        (loss, (bpr, reg, dropped)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, fb, users, pos, neg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, emb_s), params
+        )
+        return params, opt_state, {
+            "loss": loss,
+            "bpr_loss": bpr,
+            "reg_loss": reg,
+            "dropped_arcs": jnp.asarray(dropped, jnp.float32),
+        }
+
+    return step
 
 
 def make_sharded_train_step(

@@ -149,17 +149,56 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     mesh = None
     n_mesh = config.mesh_devices if config.mesh_devices != 0 else len(jax.devices())
     if n_mesh > 1:
-        from ..parallel import make_mesh, make_sharded_train_step, shard_graph, shard_params
+        from ..parallel import (
+            make_mesh,
+            make_sharded_fast_train_step,
+            make_sharded_train_step,
+            shard_fast_bipartite,
+            shard_graph,
+            shard_params,
+        )
 
         mesh = make_mesh(n_mesh)
         with mesh:
             params = shard_params(params, mesh)
             if start_epoch == 0:  # a resumed opt_state must survive sharding
                 opt_state = optimizer.init(params)
-            graph = shard_graph(graph, mesh)
-            sharded_step = make_sharded_train_step(
-                cfg, optimizer, mesh, config.batch_size, config.decay
-            )
+            if config.fast_bipartite != "off":
+                import jax.numpy as jnp
+
+                from ..ops.bipartite import build_fast_bipartite, fast_get_embedding
+
+                t0 = time.perf_counter()
+                fb = build_fast_bipartite(
+                    graph,
+                    dtype=jnp.bfloat16
+                    if config.fast_bipartite == "bf16"
+                    else jnp.float32,
+                )
+                graph = shard_fast_bipartite(fb, mesh)
+                log(
+                    {
+                        "msg": (
+                            f"fast bipartite operator built+sharded in "
+                            f"{time.perf_counter() - t0:.1f}s "
+                            f"({graph.item_op.nbytes / 1e9:.2f} GB over "
+                            f"{mesh.shape['model']} model shards)"
+                        )
+                    }
+                )
+                edge_cap = config.batch_edge_cap or max(64 * config.batch_size, 8192)
+                sharded_step = make_sharded_fast_train_step(
+                    cfg, optimizer, mesh, config.batch_size, config.decay, edge_cap
+                )
+                _fast_jit = jax.jit(
+                    lambda p, fb_: fast_get_embedding(p, fb_, cfg.num_layers)
+                )
+                compute_embedding = lambda p: _fast_jit(p, graph)
+            else:
+                graph = shard_graph(graph, mesh)
+                sharded_step = make_sharded_train_step(
+                    cfg, optimizer, mesh, config.batch_size, config.decay
+                )
 
         def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
             with mesh:
@@ -221,7 +260,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             config.decay,
             sample_replace=config.sample_replace,
         )
-    if mesh is not None or config.fast_bipartite == "off":
+    if config.fast_bipartite == "off":
         compute_embedding = lambda p: get_embedding(p, graph, cfg)
 
     log(

@@ -133,3 +133,37 @@ def test_int8_quantized_topk_overlap(rng):
     # Masked items never appear.
     for row, m in zip(got, mask):
         assert not (set(row.tolist()) & set(m[m >= 0].tolist()))
+
+
+def test_hier_topk_exact_large_row(rng):
+    """The tile-max-pruned top-k (default exact impl) must equal brute force
+    on rows wide enough to trigger the pruned path (n_tiles > k)."""
+    from gnn_ecommerce_tpu.ops.topk_score import _hier_top_k
+    import jax
+
+    B, I, k = 8, 9000, 20
+    scores = rng.standard_normal((B, I)).astype(np.float32)
+    # Adversarial rows: clustered near-ties inside one tile, and a row where
+    # many top elements share a single tile.
+    scores[0, 100:120] = 50.0 + np.arange(20) * 1e-3   # all top-k in ONE tile
+    scores[1, ::450] = 60.0                             # spread across tiles
+    vals, idx = jax.jit(_hier_top_k, static_argnums=(1,))(jnp.asarray(scores), k)
+    bidx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    bvals = np.take_along_axis(scores, bidx, 1)
+    np.testing.assert_allclose(np.sort(np.asarray(vals), 1), np.sort(bvals, 1))
+    # Exact index sets must match where values are unique.
+    for b in range(B):
+        assert set(np.asarray(idx)[b]) == set(bidx[b])
+
+
+def test_tiled_and_hier_impls_agree(rng):
+    B, I, D, k = 8, 7000, 16, 20
+    u = rng.standard_normal((B, D)).astype(np.float32)
+    it = rng.standard_normal((I, D)).astype(np.float32)
+    mask = np.full((B, 1), -1, np.int32)
+    v1, i1 = topk_scores(jnp.asarray(u), jnp.asarray(it), jnp.asarray(mask), k,
+                         topk_impl="exact")
+    v2, i2 = topk_scores(jnp.asarray(u), jnp.asarray(it), jnp.asarray(mask), k,
+                         item_tile=512, topk_impl="tiled")
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_array_equal(np.sort(np.asarray(i1), 1), np.sort(np.asarray(i2), 1))

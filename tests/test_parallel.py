@@ -99,3 +99,59 @@ def test_sharded_evaluate_matches_single_device(rng):
     assert p2 == pytest.approx(p1, rel=1e-6)
     assert r2 == pytest.approx(r1, rel=1e-6)
     np.testing.assert_array_equal(idx2, idx1)
+
+
+def test_sharded_fast_step_matches_unsharded():
+    """The sharded fast-bipartite batched step must match the single-device
+    batched fast step (same key => same batch) to float tolerance."""
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from gnn_ecommerce_tpu.sampling import make_sampler_data
+    from gnn_ecommerce_tpu.data.prepare import SamplerArrays
+    from gnn_ecommerce_tpu.train import make_train_fns
+    from gnn_ecommerce_tpu.ops.bipartite import build_fast_bipartite, fast_batch_embeddings
+    from gnn_ecommerce_tpu.parallel import (
+        make_mesh, make_sharded_fast_train_step, shard_fast_bipartite, shard_params,
+    )
+
+    graph, cfg, params, rng = g._tiny_setup(n_edges=3000, seed=11)
+    fb = build_fast_bipartite(graph, dtype=jnp.float32)
+    src, dst = np.asarray(graph.src), np.asarray(graph.dst)
+    m = dst < graph.n_users
+    users, first = np.unique(dst[m], return_index=True)
+    pos = src[m][first]
+    arrays = SamplerArrays(
+        users=users.astype(np.int64),
+        pos_indptr=np.arange(len(users) + 1),
+        pos_flat=pos.astype(np.int64),
+        ign_indptr=np.arange(len(users) + 1),
+        ign_flat=pos.astype(np.int64),
+    )
+    sdata = make_sampler_data(arrays, graph.n_users, graph.n_items)
+    optimizer = optax.adam(1e-2)
+    key = jax.random.key(5)
+    copy = lambda tree: jax.tree.map(lambda x: x.copy(), tree)
+
+    step1, _ = make_train_fns(
+        cfg, optimizer, batch_size=64, decay=1e-4,
+        batch_embed_fn=lambda p, fb_, u, po, ne: fast_batch_embeddings(
+            p, fb_, cfg.num_layers, u, po, ne, edge_cap=4096
+        ),
+    )
+    p1, _, m1 = step1(copy(params), optimizer.init(params), fb, sdata, key)
+
+    mesh = make_mesh(8)
+    with mesh:
+        sp = shard_params(copy(params), mesh)
+        so = optimizer.init(sp)
+        sfb = shard_fast_bipartite(fb, mesh)
+        step8 = make_sharded_fast_train_step(
+            cfg, optimizer, mesh, batch_size=64, decay=1e-4, edge_cap=4096
+        )
+        p8, _, m8 = step8(sp, so, sfb, sdata, key)
+
+    assert float(m8["dropped_arcs"]) == 0.0
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["embedding"]), np.asarray(p8["embedding"]), rtol=1e-4, atol=1e-6
+    )
