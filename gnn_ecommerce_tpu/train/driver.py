@@ -67,8 +67,9 @@ class TrainConfig:
     # Bipartite-factorized propagation (ops/bipartite.py): one-time dense
     # item-item operator build, then 2 SpMMs per forward instead of 2L —
     # ~5.6x faster forward at cosmetics scale on one v5e chip. "off",
-    # "f32" (exact), or "bf16" (benchmarked mode, B_ii stored bf16).
-    # Single-device only (the sharded paths keep the layered propagate).
+    # "f32" (exact), or "bf16" (benchmarked mode, B_ii stored bf16). Works
+    # single-device (scan-fused batched step) and with mesh_devices > 1
+    # (B_ii row-sharded over the model axis, arcs over data).
     fast_bipartite: str = "off"
     # Static capacity (arcs) of the batched train forward's user-edge buffer
     # (ops/bipartite.fast_batch_embeddings). 0 -> auto: max(64*batch, 8192),
@@ -120,6 +121,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
         prepared.n_items,
         items_offset=True,
     )
+    num_edges, num_arcs = graph.num_edges, graph.num_arcs
     sdata = make_sampler_data(prepared.sampler, prepared.n_users, prepared.n_items)
     val_batch = build_eval_batch(prepared.val)
     test_batch = build_eval_batch(prepared.test)
@@ -267,7 +269,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
         {
             "msg": (
                 f"training: {prepared.n_users} users x {prepared.n_items} items, "
-                f"{graph.num_edges} edges, {n_batch} batches/epoch, "
+                f"{num_edges} edges, {n_batch} batches/epoch, "
                 f"dim {config.latent_dim}, {config.n_layers} layers"
             )
         }
@@ -308,7 +310,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             "dropped_arcs": float(metrics.get("dropped_arcs", 0.0)),
             "train_s": t_train,
             "epoch_s": t_total,
-            "edges_per_s": graph.num_arcs
+            "edges_per_s": num_arcs
             * cfg.num_layers
             * n_batch
             * 3  # fwd + 2x in bwd (grad wrt messages and embeddings)

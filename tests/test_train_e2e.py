@@ -102,3 +102,32 @@ def test_fast_bipartite_training_matches_layered(tmp_path):
         np.asarray(r2.params["embedding"]), np.asarray(r1.params["embedding"]),
         rtol=2e-3, atol=2e-5,
     )
+
+
+def test_mesh_fast_bipartite_training(tmp_path):
+    """Driver with mesh_devices=8 AND fast_bipartite='f32': the sharded
+    batched fast step must run and match the single-device fast trajectory."""
+    prep = make_prepared(seed=8)
+    base = dict(latent_dim=8, n_layers=2, epochs=2, batch_size=128,
+                batches_per_epoch=5, lr=0.02)
+    r1 = train(
+        prep,
+        TrainConfig(checkpoint_dir=str(tmp_path / "one"), fast_bipartite="f32", **base),
+        verbose=False,
+    )
+    r8 = train(
+        prep,
+        TrainConfig(
+            checkpoint_dir=str(tmp_path / "mesh"), fast_bipartite="f32",
+            mesh_devices=8, **base,
+        ),
+        verbose=False,
+    )
+    assert all(h["dropped_arcs"] == 0.0 for h in r8.history)
+    np.testing.assert_allclose(
+        [h["loss"] for h in r8.history], [h["loss"] for h in r1.history], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(r8.params["embedding"]), np.asarray(r1.params["embedding"]),
+        rtol=2e-3, atol=2e-5,
+    )
