@@ -11,6 +11,8 @@ Endpoint parity with the reference's TorchServe deployment
     GET  /ping                      → {"status": "Healthy"}   (TorchServe ping)
     GET  /v1/models/lightgcn_recommender → model/config stats (management API
         analog of TorchServe's :8081 describe endpoint).
+    GET  /metrics                   → Prometheus text counters (metrics API
+        analog of TorchServe's :8082 endpoint, ``config.properties:4``).
 
 The reference runs a Java frontend + Python worker processes with a .mar
 archive; here one Python process hosts a threaded HTTP server in front of the
@@ -47,6 +49,20 @@ def make_server(service: RecommenderService, host: str = "127.0.0.1", port: int 
                 self._send(200, {"status": "Healthy"})
             elif self.path == f"/v1/models/{MODEL_NAME}":
                 self._send(200, {"model": MODEL_NAME, **service.stats()})
+            elif self.path == "/metrics":
+                # TorchServe metrics-port (:8082) analog: Prometheus text
+                # exposition of the serving counters.
+                lines = []
+                for name, val in service.metrics().items():
+                    lines.append(f"# TYPE lightgcn_{name} "
+                                 f"{'counter' if name.endswith('_total') else 'gauge'}")
+                    lines.append(f"lightgcn_{name} {val}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 

@@ -54,6 +54,9 @@ class RecommenderService:
         self.mask_mode = mask_mode
         self.quantized = quantized
         self._lock = threading.Lock()
+        self._req_count = 0
+        self._user_count = 0
+        self._req_seconds = 0.0
         self._graph = build_graph(
             prepared.edge_user,
             prepared.edge_item_node,
@@ -165,6 +168,7 @@ class RecommenderService:
         flow (``torchserve/lightgcn_handler.py:73-96``) minus the per-request
         propagation.
         """
+        t_req = time.perf_counter()
         k = k or self.k
         ids = np.asarray(user_ids, dtype=np.int64)
         if ids.ndim != 1:
@@ -182,16 +186,33 @@ class RecommenderService:
             emb = self.final_emb
             qcache = self._qcache
         if qcache is not None:
-            return qcache.recommend(padded_ids, mask, k=k)[:n]
-        out = recommend_users(
-            emb,
-            jnp.asarray(padded_ids, jnp.int32),
-            jnp.asarray(mask),
-            self.prepared.n_users,
-            k=k,
-            mask_mode=self.mask_mode,
-        )
-        return out[:n]
+            out = qcache.recommend(padded_ids, mask, k=k)[:n]
+        else:
+            out = recommend_users(
+                emb,
+                jnp.asarray(padded_ids, jnp.int32),
+                jnp.asarray(mask),
+                self.prepared.n_users,
+                k=k,
+                mask_mode=self.mask_mode,
+            )[:n]
+        with self._lock:
+            self._req_count += 1
+            self._user_count += n
+            self._req_seconds += time.perf_counter() - t_req
+        return out
+
+    def metrics(self) -> dict:
+        """Serving counters (TorchServe :8082 metrics-endpoint analog)."""
+        with self._lock:
+            c, u, s = self._req_count, self._user_count, self._req_seconds
+        return {
+            "requests_total": c,
+            "users_total": u,
+            "request_seconds_total": round(s, 6),
+            "request_seconds_avg": round(s / c, 6) if c else 0.0,
+            "last_refresh_seconds": round(self.last_refresh_s, 4),
+        }
 
     def stats(self) -> dict:
         return {

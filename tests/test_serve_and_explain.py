@@ -98,6 +98,18 @@ def test_rest_server_roundtrip(service):
         with urllib.request.urlopen(req) as r:
             items = json.load(r)["items"]
             assert len(items) == 2 and len(items[0]) == 10
+        # Metrics endpoint (TorchServe :8082 analog): Prometheus text with
+        # the request just made counted.
+        with urllib.request.urlopen(f"{base}/metrics") as r:
+            text = r.read().decode()
+            assert "lightgcn_requests_total" in text
+            counts = {
+                line.split()[0]: float(line.split()[1])
+                for line in text.splitlines()
+                if line and not line.startswith("#")
+            }
+            assert counts["lightgcn_requests_total"] >= 1
+            assert counts["lightgcn_users_total"] >= 2
         # Malformed body -> 400, not a crash.
         bad = urllib.request.Request(
             f"{base}/v1/models/lightgcn_recommender:predict", data=b"{}"
