@@ -153,27 +153,28 @@ def main():
         f"{edges_per_s:.3e} logical edges/s/chip ({t_layered/t_fast:.1f}x over layered)"
     )
 
-    # --- fast path with the Pallas to_users kernel (guarded) ---
-    t_pallas = None
+    # --- fast path with the measured-optimal SpMM plans (ops/spmm_fast.py:
+    # to_items = gather + Pallas one-hot-MXU segment reduce; to_users =
+    # degree-binned ELL). Guarded: a Mosaic failure must not kill the bench.
     try:
-        from gnn_ecommerce_tpu.ops.bipartite import make_pallas_to_users
+        from gnn_ecommerce_tpu.ops.bipartite import build_fast_ops
 
-        pl_to_users = make_pallas_to_users(fb.split, rows=512, e_chunk=2048)
-        fast_pl2 = jax.jit(
-            lambda p, fb_: fast_get_embedding(p, fb_, LAYERS, to_users_fn=pl_to_users)
-        )
-        fast_pl = lambda p: fast_pl2(p, fb)
-        t_pallas = timeit(fast_pl, params, reps=10)
+        fops = build_fast_ops(fb.split, msgs_dtype="bfloat16")
+        fb_fo = FastBipartite(split=fb.split, item_op=fb.item_op, fops=fops)
+        fast_fo2 = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, LAYERS))
+        fast_fo = lambda p: fast_fo2(p, fb_fo)
+        t_fo = timeit(fast_fo, params, reps=10)
         log(
-            f"fast + pallas to_users: {t_pallas*1e3:.1f} ms "
-            f"({t_fast/t_pallas:.2f}x over XLA to_users)"
+            f"fast + spmm plans (ELL + pallas segreduce): {t_fo*1e3:.1f} ms "
+            f"({t_fast/t_fo:.2f}x over take+segment_sum)"
         )
-        if t_pallas < t_fast:
-            fast = fast_pl
-            t_fast = t_pallas
+        if t_fo < t_fast:
+            fast = fast_fo
+            t_fast = t_fo
+            fb = fb_fo
             edges_per_s = logical_edges / t_fast
-    except Exception as e:  # Mosaic/compile failure must not kill the bench
-        log(f"pallas to_users unavailable: {type(e).__name__}: {e}")
+    except Exception as e:
+        log(f"spmm fast ops unavailable: {type(e).__name__}: {e}")
 
     # --- train step (fast path) ---
     purch = w == 1.0

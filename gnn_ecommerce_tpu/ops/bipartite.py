@@ -103,6 +103,87 @@ def to_items(x_users, split: BipartiteSplit, _tag: str = "ui"):
     )
 
 
+# ---------------------------------------------------------------------------
+# Measured-optimal SpMM pair (see ops/spmm_fast.py for the microbench story):
+# to_items = arc-major gather + Pallas one-hot-MXU segment reduce;
+# to_users = degree-binned ELL gather + fused static-axis sum.
+# Exact restructurings (summation order differs); self-transpose VJPs.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FastOps:
+    """Precomputed plans for both hot SpMM directions (static graph)."""
+
+    items_plan: "object"   # SegReducePlan: gather users → reduce to items
+    users_ell: "object"    # EllPlan: gather items → reduce to users
+    msgs_dtype: str = dataclasses.field(
+        default="float32", metadata=dict(static=True)
+    )
+
+
+def build_fast_ops(split: BipartiteSplit, msgs_dtype: str = "float32") -> FastOps:
+    from .spmm_fast import build_ell_plan, build_segreduce_plan
+
+    items_plan = build_segreduce_plan(
+        np.asarray(split.ui_src_user),
+        np.asarray(split.ui_dst_item),
+        np.asarray(split.ui_w),
+        split.n_items,
+    )
+    users_ell = build_ell_plan(
+        np.asarray(split.iu_indptr),
+        np.asarray(split.iu_src_item),
+        np.asarray(split.iu_w),
+        split.n_users,
+    )
+    return FastOps(items_plan=items_plan, users_ell=users_ell, msgs_dtype=msgs_dtype)
+
+
+@jax.custom_vjp
+def fast_to_items(x_users, fops: FastOps):
+    """out_items = Â_iu · x_users via gather + Pallas segment reduce."""
+    from .spmm_fast import gather_segreduce
+
+    return gather_segreduce(
+        x_users,
+        fops.items_plan,
+        msgs_dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            fops.msgs_dtype
+        ],
+    )
+
+
+@jax.custom_vjp
+def fast_to_users(x_items, fops: FastOps):
+    """out_users = Â_ui · x_items via degree-binned ELL."""
+    from .spmm_fast import ell_apply
+
+    return ell_apply(x_items, fops.users_ell)
+
+
+def _fast_to_items_fwd(x_users, fops):
+    return fast_to_items(x_users, fops), fops
+
+
+def _fast_to_items_bwd(fops, g):
+    # (Â_iu)^T = Â_ui: the cotangent flows through the users-direction op.
+    return fast_to_users(g, fops), None
+
+
+def _fast_to_users_fwd(x_items, fops):
+    return fast_to_users(x_items, fops), fops
+
+
+def _fast_to_users_bwd(fops, g):
+    return fast_to_items(g, fops), None
+
+
+fast_to_items.defvjp(_fast_to_items_fwd, _fast_to_items_bwd)
+fast_to_users.defvjp(_fast_to_users_fwd, _fast_to_users_bwd)
+
+
 def _to_users_fwd(x_items, split, _tag):
     return to_users(x_items, split, _tag), split
 
@@ -324,10 +405,12 @@ def build_item_operator(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FastBipartite:
-    """Everything the fast forward needs: split arcs + dense 2-hop operator."""
+    """Everything the fast forward needs: split arcs + dense 2-hop operator
+    (+ optionally the measured-optimal SpMM plans of :class:`FastOps`)."""
 
     split: BipartiteSplit
     item_op: jax.Array  # [I, I] B_ii (f32 or bf16)
+    fops: FastOps | None = None
 
     @property
     def n_users(self) -> int:
@@ -337,10 +420,28 @@ class FastBipartite:
     def n_items(self) -> int:
         return self.split.n_items
 
+    def _to_items(self, x_users):
+        if self.fops is not None:
+            return fast_to_items(x_users, self.fops)
+        return to_items(x_users, self.split)
 
-def build_fast_bipartite(graph: BipartiteGraph, dtype=jnp.float32) -> FastBipartite:
+    def _to_users(self, x_items):
+        if self.fops is not None:
+            return fast_to_users(x_items, self.fops)
+        return to_users(x_items, self.split)
+
+
+def build_fast_bipartite(
+    graph: BipartiteGraph,
+    dtype=jnp.float32,
+    fast_ops: bool = False,
+    msgs_dtype: str = "float32",
+) -> FastBipartite:
     split = split_graph(graph)
-    return FastBipartite(split=split, item_op=build_item_operator(split, dtype=dtype))
+    fops = build_fast_ops(split, msgs_dtype=msgs_dtype) if fast_ops else None
+    return FastBipartite(
+        split=split, item_op=build_item_operator(split, dtype=dtype), fops=fops
+    )
 
 
 def make_pallas_to_users(split: BipartiteSplit, table_dtype=jnp.bfloat16, **kwargs):
@@ -376,7 +477,7 @@ def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
     # computed two at a time — B @ [i^{l-2} | i^{l-1}] — so the (6 GB at
     # cosmetics scale, bandwidth-bound) B matrix streams from HBM once per
     # PAIR of layers instead of once per layer.
-    i_seq = [E_i.astype(jnp.float32), to_items(E_u, fb.split)]
+    i_seq = [E_i.astype(jnp.float32), fb._to_items(E_u)]
     B = fb.item_op
     n_items = E_i.shape[0]  # B may carry zero row-padding (mesh divisibility)
     D = E_i.shape[1]
@@ -421,9 +522,7 @@ def fast_get_embedding(
         alpha = jnp.full((num_layers + 1,), 1.0 / (num_layers + 1), jnp.float32)
     E = params["embedding"]
     E_u, out_i, S_i = _item_chain(params, fb, num_layers, alpha)
-    users_of = to_users_fn if to_users_fn is not None else (
-        lambda s: to_users(s, fb.split)
-    )
+    users_of = to_users_fn if to_users_fn is not None else fb._to_users
     out_u = alpha[0] * E_u.astype(jnp.float32) + users_of(S_i)
     return jnp.concatenate([out_u, out_i], axis=0).astype(E.dtype)
 

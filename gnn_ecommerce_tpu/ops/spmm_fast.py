@@ -1,0 +1,282 @@
+"""Measured-optimal SpMM pair for the bipartite hot path.
+
+The two |E|-sized sparse ops left in the fast bipartite forward
+(``ops/bipartite.py``) are ``to_items = Â_iu·x_users`` and
+``to_users = Â_ui·x_items``. Round-1 shipped both as ``take`` + sorted
+``jax.ops.segment_sum``; microbenchmarks on the target v5e chip
+(``scripts/microbench_results*.json``) showed that splits as:
+
+    random-row take (10.16M arcs):   ~96 ms big (1.64M-row) table,
+                                     ~69 ms small (54.6K-row) table
+    sorted segment_sum:             ~128 ms  (XLA lowers it as scatter-add,
+                                              even with sorted indices!)
+
+i.e. the REDUCE costs more than the gather. Two replacements, one per
+direction, each picked by measurement:
+
+- ``to_users`` (gather from the SMALL item table, reduce over 1.64M users):
+  degree-binned ELL — per power-of-2 width bin, ``take`` a [rows, W] index
+  matrix and reduce over the STATIC width axis, which XLA fuses into the
+  gather (no scatter anywhere). Measured 69 ms for the padded 12.3M gathers
+  (vs 132 ms shipped), plus one [n_users]-row gather to undo the
+  degree-sort row permutation.
+
+- ``to_items`` (gather from the BIG user table, reduce over 54.6K items):
+  big-table ELL measured WORSE (84M padded rows/s — the weight multiply
+  breaks XLA's gather+reduce fusion and the padded gathers pay full price),
+  so the arc-major gather stays (its 96 ms is the descriptor-rate floor:
+  ~9.5 ns/row regardless of dtype, sortedness, or row width) and only the
+  reduce moves to a Pallas kernel: messages stream through VMEM in
+  dst-sorted chunks and accumulate into revisited 512-row output tiles via
+  one-hot matmuls on the MXU (~10 ms vs 128 ms for XLA's segment_sum).
+
+Both ops are exact restructurings (summation ORDER differs from the
+reference's scatter order, so equality is allclose-level, not bitwise;
+``msgs_dtype=bfloat16`` additionally rounds each message once and is the
+benchmarked training mode — see ``SegReducePlan``).
+
+The pair is self-transpose: Â_ui^T = Â_iu (symmetric normalization,
+duplicated arcs), so each op's VJP is the other op applied to the cotangent
+— exactly two plans serve forward AND backward of both directions.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "EllPlan",
+    "SegReducePlan",
+    "build_ell_plan",
+    "build_segreduce_plan",
+    "ell_apply",
+    "gather_segreduce",
+]
+
+
+# ---------------------------------------------------------------------------
+# Degree-binned ELL (gather + static-axis reduce; no scatter)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllPlan:
+    """Rows grouped into power-of-2 degree bins; each bin is a dense
+    [rows_b, W_b] (index, weight) pair. Outputs come back in bin order and
+    are un-permuted by one row gather at ``inv_order``."""
+
+    idx: tuple      # per bin: [rows_b, W_b] int32 gather rows into the table
+    w: tuple        # per bin: [rows_b, W_b] float32 normalized weights
+    inv_order: jax.Array  # [n_out] int32; out = concat(bin outs)[inv_order]
+    n_out: int = dataclasses.field(metadata=dict(static=True))
+    widths: tuple = dataclasses.field(metadata=dict(static=True))
+
+
+def build_ell_plan(
+    indptr: np.ndarray, src: np.ndarray, w: np.ndarray, n_out: int
+) -> EllPlan:
+    """Build from a CSR over destinations (``indptr`` [n_out+1] into
+    dst-sorted ``src``/``w`` arc arrays)."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    src = np.asarray(src)
+    w = np.asarray(w)
+    deg = np.diff(indptr)
+    order = np.argsort(deg, kind="stable")  # ascending degree
+    dsort = deg[order]
+    idx_bins, w_bins, widths = [], [], []
+    lo = 0
+    wexp = 0
+    while lo < n_out:
+        W = 1 << wexp
+        hi = int(np.searchsorted(dsort, W, side="right"))
+        wexp += 1
+        if hi <= lo:
+            continue
+        rows = order[lo:hi]
+        nb = len(rows)
+        d = deg[rows]
+        ib = np.zeros((nb, W), np.int32)
+        wb = np.zeros((nb, W), np.float32)
+        flat_rows = np.repeat(np.arange(nb), d)
+        flat_cols = np.arange(int(d.sum())) - np.repeat(
+            np.cumsum(np.append(0, d[:-1])), d
+        )
+        take = np.repeat(indptr[rows], d) + flat_cols
+        ib[flat_rows, flat_cols] = src[take]
+        wb[flat_rows, flat_cols] = w[take]
+        idx_bins.append(jnp.asarray(ib))
+        w_bins.append(jnp.asarray(wb))
+        widths.append(W)
+        lo = hi
+    inv = np.empty(n_out, np.int32)
+    inv[order] = np.arange(n_out, dtype=np.int32)
+    return EllPlan(
+        idx=tuple(idx_bins),
+        w=tuple(w_bins),
+        inv_order=jnp.asarray(inv),
+        n_out=int(n_out),
+        widths=tuple(widths),
+    )
+
+
+def ell_apply(table: jax.Array, plan: EllPlan) -> jax.Array:
+    """[n_out, D] float32 = Â · table via per-bin gather + fused width-sum."""
+    outs = [
+        jnp.sum(
+            jnp.take(table, ib, axis=0).astype(jnp.float32) * wb[..., None],
+            axis=1,
+        )
+        for ib, wb in zip(plan.idx, plan.w)
+    ]
+    return jnp.concatenate(outs, axis=0)[plan.inv_order]
+
+
+# ---------------------------------------------------------------------------
+# Arc-major gather + Pallas one-hot-MXU segment reduce
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SegReducePlan:
+    """Dst-sorted arcs padded so each OT-row output tile owns whole CH-arc
+    chunks; ``tile_map``/``first`` drive the Pallas grid (scalar prefetch).
+
+    ``msgs_dtype`` trades reduce throughput for message precision:
+    ``float32`` keeps the full f32 message (exact up to summation order);
+    ``bfloat16`` rounds each weighted message once before the MXU reduce
+    (f32 accumulation) — the benchmarked training mode.
+    """
+
+    gidx: jax.Array      # [E_pad] int32 rows to gather from the table
+    gw: jax.Array        # [E_pad] float32 weights (0 on padding)
+    seg: jax.Array       # [n_chunks, 8, CH/8] int32 local segment ids
+    tile_map: jax.Array  # [n_chunks] int32 output tile per chunk
+    first: jax.Array     # [n_chunks] int32 1 on a tile's first chunk
+    n_out: int = dataclasses.field(metadata=dict(static=True))
+    ot: int = dataclasses.field(metadata=dict(static=True))
+    ch: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_segreduce_plan(
+    src: np.ndarray,
+    dst_sorted: np.ndarray,
+    w: np.ndarray,
+    n_out: int,
+    ot: int = 512,
+    ch: int = 2048,
+) -> SegReducePlan:
+    src = np.asarray(src)
+    dst_sorted = np.asarray(dst_sorted)
+    w = np.asarray(w)
+    n_tiles = -(-n_out // ot)
+    bounds = np.searchsorted(dst_sorted, np.arange(n_tiles + 1) * ot)
+    cnt = np.diff(bounds)
+    chunks = np.maximum(1, -(-cnt // ch))
+    padded = chunks * ch
+    starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    e_pad = int(padded.sum())
+    gidx = np.zeros(e_pad, np.int32)
+    gw = np.zeros(e_pad, np.float32)
+    seg = np.zeros(e_pad, np.int32)
+    # positions of the real (unpadded) arcs inside the padded layout
+    take_pos = np.repeat(starts, cnt) + (
+        np.arange(int(cnt.sum())) - np.repeat(np.cumsum(np.append(0, cnt[:-1])), cnt)
+    )
+    gidx[take_pos] = src
+    gw[take_pos] = w
+    seg[take_pos] = dst_sorted - np.repeat(np.arange(n_tiles) * ot, cnt).astype(
+        dst_sorted.dtype
+    )
+    tile_map = np.repeat(np.arange(n_tiles, dtype=np.int32), chunks)
+    first = np.zeros(len(tile_map), np.int32)
+    first[np.concatenate([[0], np.cumsum(chunks)[:-1]])] = 1
+    return SegReducePlan(
+        gidx=jnp.asarray(gidx),
+        gw=jnp.asarray(gw),
+        seg=jnp.asarray(seg.reshape(-1, 8, ch // 8)),
+        tile_map=jnp.asarray(tile_map),
+        first=jnp.asarray(first),
+        n_out=int(n_out),
+        ot=int(ot),
+        ch=int(ch),
+    )
+
+
+@partial(jax.jit, static_argnames=("ot", "ch", "d", "n_tiles", "interpret"))
+def _seg_reduce_call(tile_map, first, seg, msgs, *, ot, ch, d, n_tiles, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c8 = ch // 8
+    msgs_dtype = msgs.dtype
+    n_chunks = seg.shape[0]
+
+    def kernel(tile_map_ref, first_ref, seg_ref, msgs_ref, out_ref):
+        c = pl.program_id(0)
+
+        @pl.when(first_ref[c] == 1)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ot, c8), 0)
+        acc = jnp.zeros((ot, d), jnp.float32)
+        for r in range(8):
+            oh = (rows == seg_ref[0, r, :][None, :]).astype(msgs_dtype)
+            acc += jnp.dot(
+                oh,
+                msgs_ref[r * c8 : (r + 1) * c8, :],
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[:] += acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0)),
+            pl.BlockSpec((ch, d), lambda c, tm, fr: (c, 0)),
+        ],
+        out_specs=pl.BlockSpec((ot, d), lambda c, tm, fr: (tm[c], 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * ot, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(tile_map, first, seg, msgs)
+
+
+def gather_segreduce(
+    table: jax.Array,
+    plan: SegReducePlan,
+    msgs_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """[n_out, D] float32 = Â · table: fused XLA gather·weight then the
+    Pallas chunked one-hot segment reduce. ``interpret=None`` auto-selects
+    interpreter mode off-TPU (the kernel is Mosaic-only)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    msgs = (jnp.take(table, plan.gidx, axis=0) * plan.gw[:, None]).astype(msgs_dtype)
+    n_tiles = -(-plan.n_out // plan.ot)
+    out = _seg_reduce_call(
+        plan.tile_map,
+        plan.first,
+        plan.seg,
+        msgs,
+        ot=plan.ot,
+        ch=plan.ch,
+        d=int(table.shape[-1]),
+        n_tiles=n_tiles,
+        interpret=interpret,
+    )
+    return out[: plan.n_out]

@@ -222,9 +222,13 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
         from ..ops.bipartite import build_fast_bipartite, fast_get_embedding
 
         t0 = time.perf_counter()
+        # Measured-optimal SpMM plans ride along (ops/spmm_fast.py): message
+        # precision follows the B_ii mode (bf16 = benchmarked, f32 = exact).
         fb = build_fast_bipartite(
             graph,
             dtype=jnp.bfloat16 if config.fast_bipartite == "bf16" else jnp.float32,
+            fast_ops=True,
+            msgs_dtype="bfloat16" if config.fast_bipartite == "bf16" else "float32",
         )
         jax.block_until_ready(fb.item_op)
         log(

@@ -1,0 +1,102 @@
+"""The measured-optimal SpMM pair (ops/spmm_fast.py) vs the segment oracle.
+
+Covers: binned-ELL to_users, gather+Pallas-segment-reduce to_items (interpret
+mode off-TPU), the custom-VJP transpose pairing, and the full fast forward /
+train gradients with FastOps enabled.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_ecommerce_tpu.graph import build_graph
+from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+from gnn_ecommerce_tpu.ops.bipartite import (
+    FastBipartite,
+    build_fast_ops,
+    build_item_operator,
+    fast_get_embedding,
+    fast_to_items,
+    fast_to_users,
+    split_graph,
+    to_items,
+    to_users,
+)
+
+
+@pytest.fixture(scope="module")
+def small():
+    rng = np.random.default_rng(3)
+    n_u, n_i, e = 400, 60, 3000
+    u = rng.integers(0, n_u, e)
+    i = rng.integers(0, n_i, e)
+    key = np.unique(u * 64 + i)
+    u, i = key // 64, key % 64
+    i = np.minimum(i, n_i - 1)
+    w = rng.random(len(u)).astype(np.float32) + 0.05
+    graph = build_graph(u, i, w, n_u, n_i)
+    split = split_graph(graph)
+    fops = build_fast_ops(split)
+    return graph, split, fops
+
+
+def test_fast_to_items_matches_segment(small):
+    _, split, fops = small
+    x = jax.random.normal(jax.random.key(0), (split.n_users, 16), jnp.float32)
+    ref = to_items(x, split)
+    out = fast_to_items(x, fops)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fast_to_users_matches_segment(small):
+    _, split, fops = small
+    x = jax.random.normal(jax.random.key(1), (split.n_items, 16), jnp.float32)
+    ref = to_users(x, split)
+    out = fast_to_users(x, fops)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fast_pair_vjps_are_transposes(small):
+    _, split, fops = small
+    x = jax.random.normal(jax.random.key(2), (split.n_users, 8), jnp.float32)
+    g = jax.random.normal(jax.random.key(3), (split.n_items, 8), jnp.float32)
+    # d/dx <g, to_items(x)> == to_users(g)
+    grad = jax.grad(lambda x_: jnp.vdot(fast_to_items(x_, fops), g))(x)
+    ref = to_users(g, split)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    y = jax.random.normal(jax.random.key(4), (split.n_items, 8), jnp.float32)
+    h = jax.random.normal(jax.random.key(5), (split.n_users, 8), jnp.float32)
+    grad2 = jax.grad(lambda y_: jnp.vdot(fast_to_users(y_, fops), h))(y)
+    ref2 = to_items(h, split)
+    np.testing.assert_allclose(np.asarray(grad2), np.asarray(ref2), rtol=2e-5, atol=2e-5)
+
+
+def test_fast_forward_and_grads_with_fops(small):
+    graph, split, fops = small
+    cfg = LightGCNConfig(num_nodes=graph.num_nodes, embedding_dim=12, num_layers=3)
+    params = init_params(jax.random.key(0), cfg)
+    fb_ref = FastBipartite(split=split, item_op=build_item_operator(split))
+    fb_fast = FastBipartite(split=split, item_op=fb_ref.item_op, fops=fops)
+    ref = fast_get_embedding(params, fb_ref, cfg.num_layers)
+    out = fast_get_embedding(params, fb_fast, cfg.num_layers)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+    def loss(p, fb):
+        emb = fast_get_embedding(p, fb, cfg.num_layers)
+        return jnp.sum(emb[: split.n_users][:7] * emb[split.n_users :][:7])
+
+    g_ref = jax.grad(loss)(params, fb_ref)["embedding"]
+    g_fast = jax.grad(loss)(params, fb_fast)["embedding"]
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_ref), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_bf16_msgs_mode_close(small):
+    _, split, _ = small
+    fops_bf16 = build_fast_ops(split, msgs_dtype="bfloat16")
+    x = jax.random.normal(jax.random.key(6), (split.n_users, 16), jnp.float32)
+    ref = to_items(x, split)
+    out = fast_to_items(x, fops_bf16)
+    # one bf16 rounding per message: ~1e-2 relative
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
