@@ -96,6 +96,18 @@ def timeit(f, *args, reps=5):
 
 def main():
     import jax
+
+    # Persistent XLA compilation cache: the remote TPU compiler takes
+    # 20s-4min per program through the tunnel; caching compiled executables
+    # on disk removes that from every run after the first (a production
+    # deployment ships warmed caches the same way). Measured quantities
+    # (steady-state step/forward/eval times) are unaffected.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
     import jax.numpy as jnp
     import optax
 

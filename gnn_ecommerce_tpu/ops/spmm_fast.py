@@ -226,12 +226,20 @@ def _seg_reduce_call(tile_map, first, seg, msgs, *, ot, ch, d, n_tiles, interpre
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (ot, c8), 0)
         acc = jnp.zeros((ot, d), jnp.float32)
+        # f32 messages need HIGHEST precision: the MXU's default f32 dot is a
+        # single bf16 pass (~3 decimal digits), measured 5e-3 relative error.
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if msgs_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
         for r in range(8):
             oh = (rows == seg_ref[0, r, :][None, :]).astype(msgs_dtype)
             acc += jnp.dot(
                 oh,
                 msgs_ref[r * c8 : (r + 1) * c8, :],
                 preferred_element_type=jnp.float32,
+                precision=prec,
             )
         out_ref[:] += acc
 
