@@ -19,6 +19,22 @@ from ..data.events import events_to_edges
 from .config import WEIGHT_SCHEMES
 
 
+def load_events(
+    path: str, user_col: str = "user_id", item_col: str = "item_id"
+) -> pd.DataFrame:
+    """Load an event CSV via the native multithreaded reader (integer-id
+    fast path; ~the reference's 2.43 GB raw dump is single-threaded pandas,
+    ``notebooks/0.eda.ipynb`` cell 7), falling back to ``pandas.read_csv``."""
+    from .. import native
+
+    try:
+        u, i, t = native.read_events_csv(path, user_col, item_col)
+        return pd.DataFrame({"user_id": u, "item_id": i, "event_type": t})
+    except Exception:
+        events = pd.read_csv(path)
+        return events.rename(columns={user_col: "user_id", item_col: "item_id"})
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--events", required=True, help="event CSV (user_id,item_id,event_type)")
@@ -27,9 +43,16 @@ def main(argv=None):
         "--scheme", default="v1", choices=sorted(WEIGHT_SCHEMES),
         help="event-type weight scheme (reference config.yaml:10-11)",
     )
+    ap.add_argument(
+        "--user-col", default="user_id", help="user id column name"
+    )
+    ap.add_argument(
+        "--item-col", default="item_id",
+        help="item id column name (the reference raw dump calls it product_id)",
+    )
     args = ap.parse_args(argv)
 
-    events = pd.read_csv(args.events)
+    events = load_events(args.events, args.user_col, args.item_col)
     missing = {"user_id", "item_id", "event_type"} - set(events.columns)
     if missing:
         sys.exit(f"events CSV missing columns: {sorted(missing)}")

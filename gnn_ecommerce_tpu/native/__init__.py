@@ -77,6 +77,11 @@ def _load():
         lib.pair_aggregate.restype = i64
         lib.pair_count.argtypes = [i64p, i64, i64]
         lib.pair_count.restype = i64
+        lib.read_events_csv.argtypes = [
+            ctypes.c_char_p, i64, i64, i64, i64, i64,
+            i64p, i64p, u8p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.read_events_csv.restype = i64
         _LIB = lib
         return _LIB
 
@@ -195,6 +200,57 @@ def pair_aggregate(
         out_a, out_b, out_v,
     )
     return out_a[:m].copy(), out_b[:m].copy(), out_v[:m].copy()
+
+
+def read_events_csv(
+    path: str,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    type_col: str = "event_type",
+    n_threads: int | None = None,
+):
+    """Multithreaded CSV event-log reader (native only; callers fall back to
+    ``pandas.read_csv``). Extracts the integer user/item id columns and the
+    event-type column (interned to codes) from a CSV with arbitrary extra
+    columns — the reference's raw cosmetics dump has 9 (``notebooks/0.eda
+    .ipynb`` cell 7); rows with unparseable ids are dropped.
+
+    Returns (user_ids int64 [N], item_ids int64 [N], event_types: pandas-
+    ready object array of type strings [N]).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native graph_core unavailable")
+    with open(path, "rb") as f:
+        data = f.read()
+    nl = data.find(b"\n")
+    header = data[: nl if nl >= 0 else len(data)].decode().strip("\r")
+    cols = [c.strip().strip('"') for c in header.split(",")]
+    try:
+        cu, ci, ct = cols.index(user_col), cols.index(item_col), cols.index(type_col)
+    except ValueError as e:
+        raise ValueError(f"missing column in {cols}: {e}") from None
+    body = data[nl + 1 :] if nl >= 0 else b""
+    cap = body.count(b"\n") + 1
+    out_u = np.empty(cap, dtype=np.int64)
+    out_i = np.empty(cap, dtype=np.int64)
+    out_t = np.empty(cap, dtype=np.uint8)
+    type_names = ctypes.create_string_buffer(32 * 64)
+    n_types = ctypes.c_int64(0)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    n = lib.read_events_csv(
+        body, len(body), cu, ci, ct, n_threads,
+        out_u, out_i, out_t, type_names, ctypes.byref(n_types),
+    )
+    names = [
+        type_names.raw[k * 64 : (k + 1) * 64].split(b"\0")[0].decode()
+        for k in range(n_types.value)
+    ]
+    u, i, t = out_u[:n], out_i[:n], out_t[:n]
+    ok = (u >= 0) & (i >= 0) & (t < len(names))
+    lut = np.array(names + [""], dtype=object)
+    return u[ok], i[ok], lut[t[ok].astype(np.int64)]
 
 
 def bfs_batch(

@@ -20,6 +20,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -263,6 +264,166 @@ void bfs_batch(const int64_t* indptr, const int64_t* indices, int64_t n_nodes,
   std::vector<std::thread> threads;
   for (int64_t k = 0; k < n_threads; ++k) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Multithreaded CSV event-log reader.
+//
+// The reference's ETL reads the 2.43 GB raw event CSV through single-threaded
+// pandas (notebooks/0.eda.ipynb cell 7); this extracts three columns —
+// integer user id, integer item id, and a small-cardinality event-type
+// string mapped to a code — straight from the mmap-able byte buffer.
+//
+// CSV handling: fields split on ',' outside double quotes; '"' toggles a
+// quote state (quoted commas in other columns, e.g. brand/category, are
+// skipped correctly); rows with missing/non-integer id fields get id -1
+// (caller drops them). Event-type strings are interned into a tiny global
+// table (≤ MAX_TYPES) under a mutex — insertions are rare (4 types in the
+// reference data).
+// ---------------------------------------------------------------------------
+
+static const int64_t MAX_TYPES = 32;
+static const int64_t TYPE_NAME_LEN = 64;
+
+// Parse a signed integer field [p, end); returns -1 on empty/invalid.
+static inline int64_t parse_id(const char* p, const char* end) {
+  if (p < end && *p == '"') ++p;
+  if (p < end && end[-1] == '"') --end;
+  if (p >= end) return -1;
+  int64_t sign = 1;
+  if (*p == '-') { sign = -1; ++p; }
+  int64_t v = 0;
+  bool any = false;
+  for (; p < end; ++p) {
+    if (*p < '0' || *p > '9') {
+      if (*p == '.') break;  // "12345.0" floats from pandas round-trips
+      return -1;
+    }
+    v = v * 10 + (*p - '0');
+    any = true;
+  }
+  return any ? sign * v : -1;
+}
+
+struct TypeTable {
+  char names[MAX_TYPES][TYPE_NAME_LEN];
+  int64_t lens[MAX_TYPES];
+  std::atomic<int64_t> n{0};
+  std::mutex mu;
+
+  uint8_t intern(const char* p, int64_t len) {
+    if (len >= TYPE_NAME_LEN) len = TYPE_NAME_LEN - 1;
+    int64_t cur = n.load(std::memory_order_acquire);
+    for (int64_t k = 0; k < cur; ++k)
+      if (lens[k] == len && std::memcmp(names[k], p, len) == 0) return (uint8_t)k;
+    std::lock_guard<std::mutex> g(mu);
+    cur = n.load(std::memory_order_relaxed);
+    for (int64_t k = 0; k < cur; ++k)
+      if (lens[k] == len && std::memcmp(names[k], p, len) == 0) return (uint8_t)k;
+    if (cur >= MAX_TYPES) return (uint8_t)(MAX_TYPES - 1);
+    std::memcpy(names[cur], p, len);
+    names[cur][len] = 0;
+    lens[cur] = len;
+    n.store(cur + 1, std::memory_order_release);
+    return (uint8_t)cur;
+  }
+};
+
+// Parse one CSV row in [p, row_end); extract the three wanted columns.
+static inline void parse_row(const char* p, const char* row_end, int64_t col_u,
+                             int64_t col_i, int64_t col_t, TypeTable* types,
+                             int64_t* u, int64_t* it, uint8_t* tc) {
+  int64_t col = 0;
+  bool quoted = false;
+  const char* field = p;
+  *u = -1; *it = -1; *tc = 255;
+  for (const char* q = p;; ++q) {
+    if (q < row_end && *q == '"') { quoted = !quoted; continue; }
+    if (q < row_end && (*q != ',' || quoted)) continue;
+    // field = [field, q)
+    const char* fe = q;
+    if (col == col_u) *u = parse_id(field, fe);
+    else if (col == col_i) *it = parse_id(field, fe);
+    else if (col == col_t) {
+      const char* fp = field;
+      if (fp < fe && *fp == '"') ++fp;
+      if (fp < fe && fe[-1] == '"') --fe;
+      *tc = types->intern(fp, fe - fp);
+    }
+    ++col;
+    field = q + 1;
+    if (q >= row_end) break;
+  }
+}
+
+// Read events from a CSV byte buffer (header already skipped by the caller:
+// `data` starts at the first data row). Returns the number of rows parsed.
+// out arrays must hold at least the newline count of `data` + 1 entries.
+int64_t read_events_csv(const char* data, int64_t size, int64_t col_u,
+                        int64_t col_i, int64_t col_t, int64_t n_threads,
+                        int64_t* out_u, int64_t* out_i, uint8_t* out_t,
+                        char* type_names /* [MAX_TYPES * TYPE_NAME_LEN] */,
+                        int64_t* n_types) {
+  if (size <= 0) { *n_types = 0; return 0; }
+  TypeTable types;
+  if (n_threads < 1) n_threads = 1;
+  // Split into byte ranges aligned to newlines.
+  std::vector<int64_t> starts(n_threads + 1, 0);
+  for (int64_t k = 1; k < n_threads; ++k) {
+    int64_t pos = size * k / n_threads;
+    while (pos < size && data[pos - 1] != '\n') ++pos;
+    starts[k] = pos;
+  }
+  starts[n_threads] = size;
+  // Pass 1: count rows per range (memchr newline scan).
+  std::vector<int64_t> rows(n_threads, 0);
+  {
+    std::vector<std::thread> ths;
+    for (int64_t k = 0; k < n_threads; ++k)
+      ths.emplace_back([&, k] {
+        const char* p = data + starts[k];
+        const char* end = data + starts[k + 1];
+        int64_t c = 0;
+        while (p < end) {
+          const char* nl = (const char*)memchr(p, '\n', end - p);
+          if (!nl) { if (end > p) ++c; break; }
+          ++c;
+          p = nl + 1;
+        }
+        rows[k] = c;
+      });
+    for (auto& t : ths) t.join();
+  }
+  std::vector<int64_t> row_off(n_threads + 1, 0);
+  for (int64_t k = 0; k < n_threads; ++k) row_off[k + 1] = row_off[k] + rows[k];
+  // Pass 2: parse.
+  {
+    std::vector<std::thread> ths;
+    for (int64_t k = 0; k < n_threads; ++k)
+      ths.emplace_back([&, k] {
+        const char* p = data + starts[k];
+        const char* end = data + starts[k + 1];
+        int64_t r = row_off[k];
+        while (p < end) {
+          const char* nl = (const char*)memchr(p, '\n', end - p);
+          const char* row_end = nl ? nl : end;
+          if (row_end > p && row_end[-1] == '\r') --row_end;
+          if (row_end > p)
+            parse_row(p, row_end, col_u, col_i, col_t, &types,
+                      &out_u[r], &out_i[r], &out_t[r]);
+          else { out_u[r] = -1; out_i[r] = -1; out_t[r] = 255; }
+          ++r;
+          if (!nl) break;
+          p = nl + 1;
+        }
+      });
+    for (auto& t : ths) t.join();
+  }
+  int64_t nt = types.n.load();
+  for (int64_t k = 0; k < nt; ++k)
+    std::memcpy(type_names + k * TYPE_NAME_LEN, types.names[k], TYPE_NAME_LEN);
+  *n_types = nt;
+  return row_off[n_threads];
 }
 
 }  // extern "C"

@@ -140,3 +140,44 @@ def test_pair_aggregate_matches_fallback(rng, monkeypatch):
     sparse = np.zeros_like(dense)
     sparse[a1, b1] = v1
     np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-7)
+
+
+def test_read_events_csv_matches_pandas(rng, tmp_path):
+    native = pytest.importorskip("gnn_ecommerce_tpu.native")
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    import pandas as pd
+
+    n = 5000
+    types = np.array(["view", "cart", "remove_from_cart", "purchase"])
+    df = pd.DataFrame(
+        {
+            "event_time": "2020-01-01 00:00:00 UTC",
+            "event_type": types[rng.integers(0, 4, n)],
+            "product_id": rng.integers(1, 10_000, n),
+            "category_code": rng.choice(
+                ["a.b.c", "", 'has,"quoted",commas'], n
+            ),
+            "brand": rng.choice(["acme", "", "co,ltd"], n),
+            "price": rng.random(n).round(2),
+            "user_id": rng.integers(1, 100_000, n),
+        }
+    )
+    path = tmp_path / "events.csv"
+    df.to_csv(path, index=False)
+
+    u, i, t = native.read_events_csv(
+        str(path), user_col="user_id", item_col="product_id"
+    )
+    np.testing.assert_array_equal(u, df["user_id"].to_numpy(np.int64))
+    np.testing.assert_array_equal(i, df["product_id"].to_numpy(np.int64))
+    assert list(t) == list(df["event_type"])
+
+    # malformed rows are dropped
+    with open(path, "a") as f:
+        f.write("x,view,notanint,,,1.0,77\n")
+        f.write("2020,cart,123,,,1.0,notanint\n")
+    u2, i2, t2 = native.read_events_csv(
+        str(path), user_col="user_id", item_col="product_id"
+    )
+    assert len(u2) == n
