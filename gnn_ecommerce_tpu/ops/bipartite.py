@@ -114,53 +114,137 @@ def to_items(x_users, split: BipartiteSplit, _tag: str = "ui"):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FastOps:
-    """Precomputed plans for both hot SpMM directions (static graph)."""
+    """Precomputed plans for both hot SpMM directions (static graph).
+
+    Optional dense-heavy-user hybrid (``heavy_users > 0``): arbitrary-row
+    gathers are descriptor-rate-limited (~9.5 ns/row measured, independent of
+    row width), so each arc of a high-degree user re-pays the descriptor cost
+    for the SAME table row. The top-K users by degree (power-law head — a
+    large arc share) are pulled out of both sparse plans and their normalized
+    weights densified into ONE [n_items, K] matrix ``w_hi`` that serves both
+    directions on the MXU at HBM streaming rate:
+
+        to_items += w_hi  @ x_users[hi_ids]      (K-row gather, tiny)
+        to_users[hi_ids] += w_hiᵀ @ x_items      (K-row scatter, tiny)
+
+    Exact restructure (w_hiᵀ is shared, so the pair stays self-transpose);
+    ``heavy_dtype="bfloat16"`` rounds each stored weight once (training
+    mode), ``"float32"`` keeps exactness for allclose parity.
+    """
 
     items_plan: "object"   # SegReducePlan: gather users → reduce to items
     users_ell: "object"    # EllPlan: gather items → reduce to users
+    hi_ids: jax.Array | None = None   # [K] int32 heavy user ids
+    w_hi: jax.Array | None = None     # [n_items, K] dense normalized weights
     msgs_dtype: str = dataclasses.field(
         default="float32", metadata=dict(static=True)
     )
 
 
-def build_fast_ops(split: BipartiteSplit, msgs_dtype: str = "float32") -> FastOps:
+def _mm_precision(dtype):
+    # XLA's default f32 dot on TPU is a single bf16 MXU pass (~5e-3 relative
+    # error measured); exact mode needs HIGHEST.
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def build_fast_ops(
+    split: BipartiteSplit,
+    msgs_dtype: str = "float32",
+    heavy_users: int = 0,
+    heavy_dtype: str = "float32",
+) -> FastOps:
     from .spmm_fast import build_ell_plan, build_segreduce_plan
 
-    items_plan = build_segreduce_plan(
-        np.asarray(split.ui_src_user),
-        np.asarray(split.ui_dst_item),
-        np.asarray(split.ui_w),
-        split.n_items,
+    ui_src = np.asarray(split.ui_src_user)
+    ui_dst = np.asarray(split.ui_dst_item)
+    ui_w = np.asarray(split.ui_w)
+    iu_indptr = np.asarray(split.iu_indptr)
+    iu_src = np.asarray(split.iu_src_item)
+    iu_w = np.asarray(split.iu_w)
+    n_users, n_items = split.n_users, split.n_items
+
+    hi_ids = w_hi = None
+    if heavy_users > 0:
+        deg = np.bincount(ui_src, minlength=n_users)
+        k = min(int(heavy_users), n_users)
+        hi = np.argpartition(-deg, k - 1)[:k] if k < n_users else np.arange(n_users)
+        hi = np.sort(hi[deg[hi] > 0])
+        if len(hi):
+            rank = np.full(n_users, -1, np.int64)
+            rank[hi] = np.arange(len(hi))
+            m = rank[ui_src] >= 0
+            dense = np.zeros((n_items, len(hi)), np.float32)
+            dense[ui_dst[m], rank[ui_src[m]]] = ui_w[m]
+            if heavy_dtype == "bfloat16":
+                import ml_dtypes
+
+                dense = dense.astype(ml_dtypes.bfloat16)
+            hi_ids = jnp.asarray(hi.astype(np.int32))
+            w_hi = jnp.asarray(dense)
+            # Tail arcs only (both directions drop the heavy users' arcs).
+            keep = ~m
+            ui_src, ui_dst, ui_w = ui_src[keep], ui_dst[keep], ui_w[keep]
+            deg_iu = np.diff(iu_indptr)
+            keep_iu = np.repeat(rank < 0, deg_iu)
+            deg_tail = np.where(rank < 0, deg_iu, 0)
+            iu_indptr = np.append(0, np.cumsum(deg_tail))
+            iu_src, iu_w = iu_src[keep_iu], iu_w[keep_iu]
+
+    items_plan = build_segreduce_plan(ui_src, ui_dst, ui_w, n_items)
+    users_ell = build_ell_plan(iu_indptr, iu_src, iu_w, n_users)
+    return FastOps(
+        items_plan=items_plan,
+        users_ell=users_ell,
+        hi_ids=hi_ids,
+        w_hi=w_hi,
+        msgs_dtype=msgs_dtype,
     )
-    users_ell = build_ell_plan(
-        np.asarray(split.iu_indptr),
-        np.asarray(split.iu_src_item),
-        np.asarray(split.iu_w),
-        split.n_users,
-    )
-    return FastOps(items_plan=items_plan, users_ell=users_ell, msgs_dtype=msgs_dtype)
 
 
 @jax.custom_vjp
 def fast_to_items(x_users, fops: FastOps):
-    """out_items = Â_iu · x_users via gather + Pallas segment reduce."""
+    """out_items = Â_iu · x_users via gather + Pallas segment reduce
+    (+ optional dense MXU matmul for the heavy-user head)."""
     from .spmm_fast import gather_segreduce
 
-    return gather_segreduce(
+    out = gather_segreduce(
         x_users,
         fops.items_plan,
         msgs_dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             fops.msgs_dtype
         ],
     )
+    if fops.w_hi is not None:
+        xh = jnp.take(x_users, fops.hi_ids, axis=0).astype(fops.w_hi.dtype)
+        out = out + jnp.dot(
+            fops.w_hi,
+            xh,
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(fops.w_hi.dtype),
+        )
+    return out
 
 
 @jax.custom_vjp
 def fast_to_users(x_items, fops: FastOps):
-    """out_users = Â_ui · x_items via degree-binned ELL."""
+    """out_users = Â_ui · x_items via degree-binned ELL (+ optional dense
+    MXU matmul for the heavy-user head)."""
     from .spmm_fast import ell_apply
 
-    return ell_apply(x_items, fops.users_ell)
+    out = ell_apply(x_items, fops.users_ell)
+    if fops.w_hi is not None:
+        heavy = jnp.dot(
+            fops.w_hi.T,
+            x_items.astype(fops.w_hi.dtype),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(fops.w_hi.dtype),
+        )
+        out = out.at[fops.hi_ids].add(heavy)
+    return out
 
 
 def _fast_to_items_fwd(x_users, fops):

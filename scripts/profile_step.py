@@ -1,0 +1,176 @@
+"""On-chip breakdown of the fast-path forward and train step.
+
+Times each constituent of the bipartite fast path at bench scale so
+optimization targets are measured, not guessed:
+  - big-table arc gather alone (take * w)
+  - fast_to_items (gather + Pallas segreduce) vs segment_sum to_items
+  - fast_to_users (binned ELL) vs segment_sum to_users
+  - B_ii paired matmul chain
+  - full fast forward (fops on/off)
+  - train step (batched fast path) with fops on/off
+
+Writes scripts/profile_step_results.json.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+RESULTS = {}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def rec(name, val):
+    RESULTS[name] = val
+    log(f"{name}: {val}")
+    with open("/root/repo/scripts/profile_step_results.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    graph, (u, i, w) = bench.build_synthetic_graph()
+    from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+    from gnn_ecommerce_tpu.ops.bipartite import (
+        FastBipartite,
+        build_fast_ops,
+        build_item_operator,
+        fast_get_embedding,
+        fast_to_items,
+        fast_to_users,
+        split_graph,
+        to_items,
+        to_users,
+    )
+
+    cfg = LightGCNConfig(
+        num_nodes=graph.num_nodes, embedding_dim=bench.DIM, num_layers=bench.LAYERS
+    )
+    params = init_params(jax.random.key(0), cfg)
+    split = split_graph(graph)
+    del graph
+    jax.clear_caches()
+
+    E = params["embedding"]
+    E_u = jnp.asarray(E[: split.n_users])
+    x_items = jnp.asarray(E[split.n_users :]).astype(jnp.float32)
+
+    timeit = bench.timeit
+
+    # --- raw gather floor (big table, arc-major, weighted) ---
+    gidx = split.ui_src_user
+    gw = split.ui_w
+    f_g = jax.jit(lambda t, ix, ww: (jnp.take(t, ix, axis=0) * ww[:, None]))
+    rec("gather_weighted_big_ms", round(timeit(f_g, E_u, gidx, gw, reps=3) * 1e3, 2))
+
+    # --- segment_sum pair ---
+    f_ti = jax.jit(lambda x, s: to_items(x, s))
+    rec("seg_to_items_ms", round(timeit(f_ti, E_u, split, reps=3) * 1e3, 2))
+    f_tu = jax.jit(lambda x, s: to_users(x, s))
+    rec("seg_to_users_ms", round(timeit(f_tu, x_items, split, reps=3) * 1e3, 2))
+
+    # --- fops pair ---
+    t0 = time.perf_counter()
+    fops = build_fast_ops(split, msgs_dtype="bfloat16")
+    rec("build_fast_ops_s", round(time.perf_counter() - t0, 2))
+    f_fti = jax.jit(lambda x, fo: fast_to_items(x, fo))
+    rec("fast_to_items_ms", round(timeit(f_fti, E_u, fops, reps=3) * 1e3, 2))
+    f_ftu = jax.jit(lambda x, fo: fast_to_users(x, fo))
+    rec("fast_to_users_ms", round(timeit(f_ftu, x_items, fops, reps=3) * 1e3, 2))
+
+    # ELL without the inv_order permutation gather (cost of the un-permute)
+    from gnn_ecommerce_tpu.ops.spmm_fast import ell_apply
+
+    def ell_no_perm(x, plan):
+        outs = [
+            jnp.sum(jnp.take(x, ib, axis=0).astype(jnp.float32) * wb[..., None], axis=1)
+            for ib, wb in zip(plan.idx, plan.w)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    f_enp = jax.jit(lambda x, p: ell_no_perm(x, p))
+    rec("ell_no_perm_ms", round(timeit(f_enp, x_items, fops.users_ell, reps=3) * 1e3, 2))
+
+    # --- B_ii chain ---
+    log("building B_ii (timed) ...")
+    t0 = time.perf_counter()
+    B = build_item_operator(split, dtype=jnp.bfloat16, band_bytes=1.5e9)
+    jax.block_until_ready(B)
+    rec("b_ii_build_s", round(time.perf_counter() - t0, 2))
+    two = jnp.concatenate([x_items, x_items + 1.0], axis=1).astype(jnp.bfloat16)
+    f_b = jax.jit(
+        lambda b, m: jnp.dot(b, m, preferred_element_type=jnp.float32)
+    )
+    rec("b_pair_matmul_ms", round(timeit(f_b, B, two, reps=3) * 1e3, 2))
+
+    fb_seg = FastBipartite(split=split, item_op=B, fops=None)
+    fb_fo = FastBipartite(split=split, item_op=B, fops=fops)
+
+    f_fwd = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, bench.LAYERS))
+    rec("fwd_seg_ms", round(timeit(f_fwd, params, fb_seg, reps=5) * 1e3, 2))
+    rec("fwd_fops_ms", round(timeit(f_fwd, params, fb_fo, reps=5) * 1e3, 2))
+
+    # --- train step, fops on/off ---
+    import optax
+
+    from gnn_ecommerce_tpu.data.prepare import SamplerArrays
+    from gnn_ecommerce_tpu.ops.bipartite import fast_batch_embeddings
+    from gnn_ecommerce_tpu.sampling import make_sampler_data
+    from gnn_ecommerce_tpu.train import make_train_fns
+
+    purch = w == 1.0
+    pu, pi = u[purch], i[purch] + bench.N_USERS
+    pos_users = np.unique(pu)
+    slot = np.searchsorted(pos_users, pu)
+    order = np.lexsort((pi, slot))
+    slot_s, pi_s = slot[order], pi[order]
+    indptr = np.zeros(len(pos_users) + 1, np.int64)
+    np.add.at(indptr, slot_s + 1, 1)
+    indptr = np.cumsum(indptr)
+    arrays = SamplerArrays(
+        users=pos_users, pos_indptr=indptr, pos_flat=pi_s,
+        ign_indptr=indptr, ign_flat=pi_s,
+    )
+    sdata = make_sampler_data(arrays, bench.N_USERS, bench.N_ITEMS)
+    optimizer = optax.adam(0.005)
+    edge_cap = 64 * bench.BATCH
+    _, run_steps = make_train_fns(
+        cfg, optimizer, bench.BATCH, decay=1e-4,
+        batch_embed_fn=lambda p, fb_, us, po, ne: fast_batch_embeddings(
+            p, fb_, bench.LAYERS, us, po, ne, edge_cap=edge_cap
+        ),
+    )
+
+    for tag, fb_ in (("seg", fb_seg), ("fops", fb_fo)):
+        opt_state = optimizer.init(params)
+        p2, opt_state, m = run_steps(params, opt_state, fb_, sdata, jax.random.key(1), 5)
+        jax.block_until_ready(p2)
+        p2, opt_state, m = run_steps(p2, opt_state, fb_, sdata, jax.random.key(3), 30)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        p2, opt_state, m = run_steps(p2, opt_state, fb_, sdata, jax.random.key(2), 30)
+        float(m["loss"])
+        rec(f"train_step_{tag}_ms", round((time.perf_counter() - t0) / 30 * 1e3, 2))
+        del p2, opt_state
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,58 @@ def test_fast_forward_and_grads_with_fops(small):
     )
 
 
+def test_hybrid_heavy_users_exact(small):
+    """Dense-heavy-user hybrid (f32 head) is an exact restructure of both
+    directions and keeps the self-transpose VJP pairing."""
+    _, split, _ = small
+    fops_h = build_fast_ops(split, heavy_users=50)
+    assert fops_h.w_hi is not None and fops_h.w_hi.shape[0] == split.n_items
+    x = jax.random.normal(jax.random.key(0), (split.n_users, 16), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fast_to_items(x, fops_h)),
+        np.asarray(to_items(x, split)),
+        rtol=2e-5, atol=2e-5,
+    )
+    y = jax.random.normal(jax.random.key(1), (split.n_items, 16), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fast_to_users(y, fops_h)),
+        np.asarray(to_users(y, split)),
+        rtol=2e-5, atol=2e-5,
+    )
+    g = jax.random.normal(jax.random.key(2), (split.n_items, 16), jnp.float32)
+    grad = jax.grad(lambda x_: jnp.vdot(fast_to_items(x_, fops_h), g))(x)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(to_users(g, split)), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_hybrid_all_users_heavy(small):
+    """heavy_users >= n_users folds EVERY arc into the dense head."""
+    _, split, _ = small
+    fops_h = build_fast_ops(split, heavy_users=split.n_users + 10)
+    assert int(fops_h.items_plan.gw.sum()) == 0  # no tail arcs left
+    x = jax.random.normal(jax.random.key(3), (split.n_users, 8), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fast_to_items(x, fops_h)),
+        np.asarray(to_items(x, split)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_hybrid_bf16_head_close(small):
+    _, split, _ = small
+    fops_h = build_fast_ops(
+        split, msgs_dtype="bfloat16", heavy_users=50, heavy_dtype="bfloat16"
+    )
+    assert fops_h.w_hi.dtype == jnp.bfloat16
+    x = jax.random.normal(jax.random.key(4), (split.n_users, 16), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fast_to_items(x, fops_h)),
+        np.asarray(to_items(x, split)),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_bf16_msgs_mode_close(small):
     _, split, _ = small
     fops_bf16 = build_fast_ops(split, msgs_dtype="bfloat16")
