@@ -167,26 +167,34 @@ def main():
 
     # --- fast path with the measured-optimal SpMM plans (ops/spmm_fast.py:
     # to_items = gather + Pallas one-hot-MXU segment reduce; to_users =
-    # degree-binned ELL). Guarded: a Mosaic failure must not kill the bench.
-    try:
-        from gnn_ecommerce_tpu.ops.bipartite import build_fast_ops
+    # degree-binned ELL), with and without the dense-heavy-user hybrid head
+    # (top-16K users' arcs ride the MXU as one [n_items, 16K] bf16 matmul —
+    # ~22% of arcs leave the descriptor-bound gathers). Each candidate is
+    # timed and the best kept. Guarded: a Mosaic failure must not kill the
+    # bench.
+    fast_fo2 = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, LAYERS))
+    for label, kwargs in (
+        ("spmm plans (ELL + pallas segreduce)", {}),
+        ("spmm plans + heavy-user head (K=16384)",
+         dict(heavy_users=16384, heavy_dtype="bfloat16")),
+    ):
+        try:
+            from gnn_ecommerce_tpu.ops.bipartite import build_fast_ops
 
-        fops = build_fast_ops(fb.split, msgs_dtype="bfloat16")
-        fb_fo = FastBipartite(split=fb.split, item_op=fb.item_op, fops=fops)
-        fast_fo2 = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, LAYERS))
-        fast_fo = lambda p: fast_fo2(p, fb_fo)
-        t_fo = timeit(fast_fo, params, reps=10)
-        log(
-            f"fast + spmm plans (ELL + pallas segreduce): {t_fo*1e3:.1f} ms "
-            f"({t_fast/t_fo:.2f}x over take+segment_sum)"
-        )
-        if t_fo < t_fast:
-            fast = fast_fo
-            t_fast = t_fo
-            fb = fb_fo
-            edges_per_s = logical_edges / t_fast
-    except Exception as e:
-        log(f"spmm fast ops unavailable: {type(e).__name__}: {e}")
+            fops = build_fast_ops(fb.split, msgs_dtype="bfloat16", **kwargs)
+            fb_fo = FastBipartite(split=fb.split, item_op=fb.item_op, fops=fops)
+            fast_fo = lambda p, fb_=fb_fo: fast_fo2(p, fb_)
+            t_fo = timeit(fast_fo, params, reps=10)
+            log(f"fast + {label}: {t_fo*1e3:.1f} ms ({t_fast/t_fo:.2f}x)")
+            if t_fo < t_fast:
+                fast = fast_fo
+                t_fast = t_fo
+                fb = fb_fo
+                edges_per_s = logical_edges / t_fast
+            else:
+                del fops, fb_fo
+        except Exception as e:
+            log(f"{label} unavailable: {type(e).__name__}: {e}")
 
     # --- train step (fast path) ---
     purch = w == 1.0

@@ -1,0 +1,88 @@
+"""EDA CLI — dataset statistics + profiling report + event projection.
+
+Covers the reference's notebook L1 surface (``notebooks/0.eda.ipynb``): reads
+the raw event CSV (monthly dumps already concatenated, or any event log),
+computes the headline statistics the notebook derives across cells 7-41
+(``data/eda.py:event_stats``), writes them as JSON, optionally writes the
+``user_item_event.csv`` projection artifact the notebook persists (cell 41)
+and a small self-contained HTML profiling report standing in for the
+notebook's ydata_profiling output (cells 13-15).
+
+    python -m gnn_ecommerce_tpu.cli.eda --events raw.csv --item-col product_id \
+        --stats stats.json --report report.html --out-events user_item_event.csv
+"""
+from __future__ import annotations
+
+import argparse
+import html
+import json
+import sys
+
+from ..data.eda import event_stats
+from .preprocess import load_events
+
+
+def _report_html(events, stats: dict) -> str:
+    """Self-contained profiling report: headline stats + per-column summary
+    + event-type distribution (ydata_profiling stand-in, no dependencies)."""
+    rows = []
+    for col in events.columns:
+        s = events[col]
+        top = s.value_counts().head(3)
+        top_txt = ", ".join(f"{html.escape(str(k))} ({v})" for k, v in top.items())
+        rows.append(
+            f"<tr><td>{html.escape(col)}</td><td>{s.dtype}</td>"
+            f"<td>{s.nunique()}</td><td>{int(s.isna().sum())}</td>"
+            f"<td>{top_txt}</td></tr>"
+        )
+    stat_rows = "".join(
+        f"<tr><td>{html.escape(str(k))}</td><td>{html.escape(json.dumps(v))}</td></tr>"
+        for k, v in stats.items()
+    )
+    return f"""<!doctype html><html><head><meta charset="utf-8">
+<title>Event-log profile</title>
+<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #999;padding:4px 8px;text-align:left}}</style></head>
+<body><h1>Event-log profile</h1>
+<h2>Headline statistics</h2><table>{stat_rows}</table>
+<h2>Columns</h2>
+<table><tr><th>column</th><th>dtype</th><th>distinct</th><th>missing</th>
+<th>top values</th></tr>{''.join(rows)}</table>
+</body></html>"""
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--events", required=True, help="raw event CSV")
+    ap.add_argument("--user-col", default="user_id")
+    ap.add_argument(
+        "--item-col", default="item_id",
+        help="item id column (the reference raw dump calls it product_id)",
+    )
+    ap.add_argument("--stats", help="write headline statistics JSON here")
+    ap.add_argument(
+        "--out-events",
+        help="write the user_item_event.csv projection (reference eda cell 41)",
+    )
+    ap.add_argument("--report", help="write a self-contained HTML profile here")
+    args = ap.parse_args(argv)
+
+    events = load_events(args.events, args.user_col, args.item_col)
+    stats = event_stats(events)
+    print(json.dumps(stats, indent=1))
+    if args.stats:
+        with open(args.stats, "w") as f:
+            json.dump(stats, f, indent=1)
+    if args.out_events:
+        events[["user_id", "item_id", "event_type"]].to_csv(
+            args.out_events, index=False
+        )
+        print(f"wrote {args.out_events}", file=sys.stderr)
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(_report_html(events, stats))
+        print(f"wrote {args.report}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

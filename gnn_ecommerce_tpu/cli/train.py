@@ -36,6 +36,10 @@ def load_edges(args, cfg: FrameworkConfig) -> pd.DataFrame:
             seed=cfg.train.seed,
         )
         return events_to_edges(events, cfg.weights())
+    if args.movielens:
+        from ..data.movielens import load_movielens
+
+        return load_movielens(args.movielens)
     path = args.edges or cfg.edges_path
     if path:
         edges = pd.read_csv(path)
@@ -54,6 +58,10 @@ def main(argv=None):
     ap.add_argument("--config", help="framework YAML config")
     ap.add_argument("--edges", help="weighted-edge CSV (user_id,item_id,weight)")
     ap.add_argument("--events", help="raw event CSV (runs the weight pipeline)")
+    ap.add_argument(
+        "--movielens",
+        help="MovieLens ratings file (u.data / ratings.dat; BASELINE config 2)",
+    )
     ap.add_argument("--synthetic", action="store_true", help="synthetic dataset")
     ap.add_argument("--synthetic-users", type=int, default=2000)
     ap.add_argument("--synthetic-items", type=int, default=300)

@@ -81,3 +81,60 @@ def test_framework_config_rejects_unknown_keys(tmp_path):
     path.write_text("train:\n  not_a_field: 1\n")
     with pytest.raises(ValueError, match="unknown train config keys"):
         FrameworkConfig.load(str(path))
+
+
+def test_eda_cli(tmp_path):
+    from gnn_ecommerce_tpu.cli import eda as eda_cli
+
+    events_path = tmp_path / "raw.csv"
+    ev = synthetic_events(n_users=80, n_items=30, n_events=900, seed=3)
+    ev = ev.rename(columns={"item_id": "product_id"})
+    ev["price"] = 1.5
+    ev.to_csv(events_path, index=False)
+    stats_p = tmp_path / "stats.json"
+    report_p = tmp_path / "report.html"
+    out_ev = tmp_path / "user_item_event.csv"
+    eda_cli.main(
+        [
+            "--events", str(events_path), "--item-col", "product_id",
+            "--stats", str(stats_p), "--report", str(report_p),
+            "--out-events", str(out_ev),
+        ]
+    )
+    stats = json.load(open(stats_p))
+    assert stats["n_events"] == len(ev)
+    assert stats["n_users"] == ev["user_id"].nunique()
+    assert 0.0 <= stats["purchase_share"] <= 1.0
+    proj = pd.read_csv(out_ev)
+    assert list(proj.columns) == ["user_id", "item_id", "event_type"]
+    html = open(report_p).read()
+    assert html.startswith("<!doctype html") and "Headline statistics" in html
+
+
+def test_movielens_loader_and_training(tmp_path, monkeypatch):
+    from gnn_ecommerce_tpu.data.movielens import load_movielens
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    rows = np.stack(
+        [
+            rng.integers(1, 200, n),
+            rng.integers(1, 60, n),
+            rng.integers(1, 6, n),
+            np.full(n, 881250949),
+        ],
+        axis=1,
+    )
+    udata = tmp_path / "u.data"
+    np.savetxt(udata, rows, fmt="%d", delimiter="\t")
+    edges = load_movielens(str(udata))
+    assert set(edges.columns) == {"user_id", "item_id", "weight"}
+    src = pd.read_csv(udata, sep="\t", header=None)
+    assert ((src[2] >= 4).to_numpy() == (edges["weight"].to_numpy() == 1.0)).all()
+    assert (edges.loc[edges["weight"] < 1.0, "weight"] <= 0.5).all()
+
+    monkeypatch.chdir(tmp_path)
+    train_cli.main(
+        ["--movielens", str(udata), "-e", "1", "--dim", "8", "--layers", "2"]
+    )
+    assert os.path.exists("model-checkpoints/LightGCN_best/checkpoint.npz")
