@@ -301,6 +301,7 @@ def build_item_operator(
     heavy_chunk: int = 512,
     scatter_chunk: int = 8_000_000,
     band_bytes: float = 2.5e9,
+    verbose: bool = False,
 ) -> jax.Array:
     """Compute dense B_ii = Â_iu · Â_ui  [n_items, n_items] on device.
 
@@ -331,6 +332,22 @@ def build_item_operator(
         starts = np.repeat(np.cumsum(np.append(0, counts[:-1])), counts)
         return np.arange(counts.sum(), dtype=np.int64) - starts
 
+    import sys
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _last = [_t0]
+
+    def _phase(name):
+        if verbose:
+            now = _time.perf_counter()
+            print(
+                f"  b_ii phase {name}: +{now - _last[0]:.1f}s "
+                f"(total {now - _t0:.1f}s)",
+                file=sys.stderr, flush=True,
+            )
+            _last[0] = now
+
     # Host-side CSR over users of the ui direction (src user -> (item, w)).
     ui_user = np.asarray(split.ui_src_user)
     ui_item = np.asarray(split.ui_dst_item)
@@ -352,9 +369,11 @@ def build_item_operator(
     from .. import native
 
     user_indptr = np.append(first, len(ui_user))
+    _phase("host csr")
     coo_a, coo_b, coo_v = native.pair_aggregate(
         user_indptr, ui_item, ui_w.astype(np.float32), n_items, ell_width
     )
+    _phase(f"pair_aggregate ({len(coo_a)} pairs)")
     heavy = counts > ell_width
     h_first, h_counts = first[heavy], counts[heavy]
 
@@ -444,6 +463,12 @@ def build_item_operator(
     heavy_stacks = [
         stack_padded(group, cap) for cap, group in sorted(heavy_groups.items())
     ]
+    if verbose:
+        jax.block_until_ready([s[0] for s in heavy_stacks] or [jnp.zeros(())])
+    _phase(
+        f"heavy prep/upload ({len(h_first)} users, "
+        f"{sum(s[0].size for s in heavy_stacks)} padded slots)"
+    )
 
     # Preallocated output; bands commit in place (donated) so peak HBM is
     # one f32 band + its matmul temp + this buffer — never a concat spike.
@@ -477,8 +502,14 @@ def build_item_operator(
                         [chunk_v, np.zeros(s_cap - len(chunk_v), np.float32)]
                     )
                 Bb = scatter_coo_band(Bb, jnp.asarray(chunk_f), jnp.asarray(chunk_v))
+        if verbose:
+            jax.block_until_ready(Bb)
+        _phase(f"band {b} scatter")
         for rows_st, items_st, vals_st in heavy_stacks:
             Bb = dense_accum_scan(Bb, rows_st, items_st, vals_st, a0)
+        if verbose:
+            jax.block_until_ready(Bb)
+        _phase(f"band {b} matmul")
         B = commit_band(B, Bb, a0)
         del Bb
     if R * n_bands != n_items:

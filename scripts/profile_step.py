@@ -94,6 +94,15 @@ def main():
     f_ftu = jax.jit(lambda x, fo: fast_to_users(x, fo))
     rec("fast_to_users_ms", round(timeit(f_ftu, x_items, fops, reps=3) * 1e3, 2))
 
+    # --- hybrid (dense-heavy-user head) pair ---
+    t0 = time.perf_counter()
+    fops_h = build_fast_ops(
+        split, msgs_dtype="bfloat16", heavy_users=16384, heavy_dtype="bfloat16"
+    )
+    rec("build_fast_ops_hybrid_s", round(time.perf_counter() - t0, 2))
+    rec("hyb_to_items_ms", round(timeit(f_fti, E_u, fops_h, reps=3) * 1e3, 2))
+    rec("hyb_to_users_ms", round(timeit(f_ftu, x_items, fops_h, reps=3) * 1e3, 2))
+
     # ELL without the inv_order permutation gather (cost of the un-permute)
     from gnn_ecommerce_tpu.ops.spmm_fast import ell_apply
 
@@ -121,10 +130,12 @@ def main():
 
     fb_seg = FastBipartite(split=split, item_op=B, fops=None)
     fb_fo = FastBipartite(split=split, item_op=B, fops=fops)
+    fb_hyb = FastBipartite(split=split, item_op=B, fops=fops_h)
 
     f_fwd = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, bench.LAYERS))
     rec("fwd_seg_ms", round(timeit(f_fwd, params, fb_seg, reps=5) * 1e3, 2))
     rec("fwd_fops_ms", round(timeit(f_fwd, params, fb_fo, reps=5) * 1e3, 2))
+    rec("fwd_hyb_ms", round(timeit(f_fwd, params, fb_hyb, reps=5) * 1e3, 2))
 
     # --- train step, fops on/off ---
     import optax
@@ -157,7 +168,7 @@ def main():
         ),
     )
 
-    for tag, fb_ in (("seg", fb_seg), ("fops", fb_fo)):
+    for tag, fb_ in (("seg", fb_seg), ("fops", fb_fo), ("hyb", fb_hyb)):
         opt_state = optimizer.init(params)
         p2, opt_state, m = run_steps(params, opt_state, fb_, sdata, jax.random.key(1), 5)
         jax.block_until_ready(p2)
