@@ -78,6 +78,10 @@ def main(argv=None):
         "--fast", choices=["off", "f32", "bf16"],
         help="bipartite-factorized propagation (single device)",
     )
+    ap.add_argument(
+        "--heavy-users", type=int,
+        help="dense-heavy-user head size K for the fast path (0=off)",
+    )
     args = ap.parse_args(argv)
 
     cfg = FrameworkConfig.load(args.config) if args.config else FrameworkConfig()
@@ -95,6 +99,8 @@ def main(argv=None):
         cfg.mesh_devices = args.mesh
     if args.fast:
         cfg.train.fast_bipartite = args.fast
+    if args.heavy_users is not None:
+        cfg.train.heavy_users = args.heavy_users
     cfg.train.mesh_devices = cfg.mesh_devices
     cfg.train.checkpoint_dir = cfg.checkpoint_dir
 

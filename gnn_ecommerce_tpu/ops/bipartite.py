@@ -551,9 +551,20 @@ def build_fast_bipartite(
     dtype=jnp.float32,
     fast_ops: bool = False,
     msgs_dtype: str = "float32",
+    heavy_users: int = 0,
+    heavy_dtype: str = "float32",
 ) -> FastBipartite:
     split = split_graph(graph)
-    fops = build_fast_ops(split, msgs_dtype=msgs_dtype) if fast_ops else None
+    fops = (
+        build_fast_ops(
+            split,
+            msgs_dtype=msgs_dtype,
+            heavy_users=heavy_users,
+            heavy_dtype=heavy_dtype,
+        )
+        if fast_ops
+        else None
+    )
     return FastBipartite(
         split=split, item_op=build_item_operator(split, dtype=dtype), fops=fops
     )

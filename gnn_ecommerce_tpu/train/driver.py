@@ -76,6 +76,11 @@ class TrainConfig:
     # ~10x the expected batch degree sum; overflow is counted per step and
     # logged as dropped_arcs. Only used when fast_bipartite != "off".
     batch_edge_cap: int = 0
+    # Dense-heavy-user hybrid head size K (ops/bipartite.FastOps): the top-K
+    # users by degree leave the descriptor-bound gather plans for one shared
+    # [n_items, K] MXU matmul per SpMM direction. 0 = off. Only used when
+    # fast_bipartite != "off" on a single device.
+    heavy_users: int = 0
 
     def hyperparams(self) -> dict:
         # Reference key-name parity for checkpoint metadata
@@ -229,6 +234,8 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             dtype=jnp.bfloat16 if config.fast_bipartite == "bf16" else jnp.float32,
             fast_ops=True,
             msgs_dtype="bfloat16" if config.fast_bipartite == "bf16" else "float32",
+            heavy_users=config.heavy_users,
+            heavy_dtype="bfloat16" if config.fast_bipartite == "bf16" else "float32",
         )
         jax.block_until_ready(fb.item_op)
         log(
