@@ -91,3 +91,30 @@ def test_event_stats_synthetic_shape():
     s = event_stats(synthetic_events(n_users=500, n_items=100, n_events=10000))
     assert 0.03 < s["purchase_share"] < 0.12  # EVENT_PROBS purchase = 6.3%
     assert s["events_per_user_max"] > s["events_per_user_mean"]
+
+
+def test_svd_cli_cv(tmp_path):
+    """SVD baseline CLI: 2-fold CV on a planted-structure edge list produces
+    sane, structure-reflecting P/R@K."""
+    import json as _json
+
+    from gnn_ecommerce_tpu.cli import svd as svd_cli
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    u = rng.integers(0, 150, n)
+    i = rng.integers(0, 60, n)
+    affinity = ((u < 75) == (i < 30)).astype(np.float64)
+    w = np.where(affinity > 0, 1.0, 0.2).astype(np.float32)
+    edges = pd.DataFrame({"user_id": u, "item_id": i, "weight": w})
+    path = tmp_path / "edges.csv"
+    edges.to_csv(path, index=False)
+    out = tmp_path / "svd.json"
+    svd_cli.main(
+        ["--edges", str(path), "--folds", "2", "-k", "10",
+         "--factors", "8", "--epochs", "15", "--out", str(out)]
+    )
+    res = _json.load(open(out))
+    assert len(res["precision_per_fold"]) == 2
+    assert res["recall_mean"] > 0.5  # planted structure is easy
+    assert 0.0 <= res["precision_mean"] <= 1.0
