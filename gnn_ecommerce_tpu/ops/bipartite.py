@@ -235,7 +235,11 @@ def fast_to_users(x_items, fops: FastOps):
     MXU matmul for the heavy-user head)."""
     from .spmm_fast import ell_apply
 
-    out = ell_apply(x_items, fops.users_ell)
+    out = ell_apply(
+        x_items,
+        fops.users_ell,
+        gather_dtype=jnp.bfloat16 if fops.msgs_dtype == "bfloat16" else None,
+    )
     if fops.w_hi is not None:
         heavy = jnp.dot(
             fops.w_hi.T,
