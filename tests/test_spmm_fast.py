@@ -152,3 +152,12 @@ def test_bf16_msgs_mode_close(small):
     out = fast_to_items(x, fops_bf16)
     # one bf16 rounding per message: ~1e-2 relative
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_to_users_gather_close(small):
+    _, split, _ = small
+    fops_bf16 = build_fast_ops(split, msgs_dtype="bfloat16")
+    x = jax.random.normal(jax.random.key(7), (split.n_items, 16), jnp.float32)
+    ref = to_users(x, split)
+    out = fast_to_users(x, fops_bf16)  # bf16 table gather, f32 accumulate
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
