@@ -14,14 +14,19 @@ What must move is SOURCE embeddings for cut arcs. At build time we compute,
 per (owner, consumer) shard pair, the sorted unique source rows the consumer
 needs; per layer each shard gathers those rows of its freshly-computed x into
 a ``[S, max_send, D]`` buffer and one ``all_to_all`` delivers every shard its
-boundary rows. Local arcs read straight from local x; remote arcs read from
-the received buffer via precomputed extended slots — one gather, one
-segment-sum per layer per shard.
+boundary rows.
+
+Overlap (SURVEY.md §7.3 hard part 5): each shard's arcs are SPLIT at build
+time into local-source and remote-source lists (both destination-sorted).
+Per layer the local partial segment-sum has NO data dependency on the
+all_to_all, so XLA's async collectives run the boundary exchange over ICI
+concurrently with the local SpMM; only the (smaller) remote partial sum
+waits on the receive. Compare GSPMD's fallback for the same program:
+all-gathering the full ``[N, D]`` table per layer, serialized.
 
 Cost per layer per shard: D·Σ_p |need(s,p)| exchanged over ICI (bounded by
-the edge cut of the contiguous partition), fully overlappable by XLA's async
-collectives with the local SpMM. Compare GSPMD's fallback for the same
-program: all-gathering the full ``[N, D]`` table per layer.
+the edge cut of the contiguous partition), hidden behind the local-arc
+aggregation whenever local work ≥ exchange time.
 
 Differentiation: everything here is composed of gather / segment-sum /
 all_to_all, all linear with well-defined transposes, so ``jax.grad`` through
@@ -55,11 +60,17 @@ from ..sampling.bpr import BprSamplerData, sample_batch
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EdgePartition:
-    """Per-shard arc data + boundary-exchange tables (leading dim = shards)."""
+    """Per-shard arc data + boundary-exchange tables (leading dim = shards).
 
-    src_slot: jax.Array    # [S, A] i32: index into [local rows | recv slots]
-    dst_local: jax.Array   # [S, A] i32: destination - shard row offset (sorted)
-    w_norm: jax.Array      # [S, A] f32: 0 on padding arcs
+    Arcs are split by source ownership so the local partial sum can overlap
+    the boundary all_to_all (module docstring)."""
+
+    src_loc: jax.Array     # [S, Al] i32: local source row (within shard)
+    dst_loc: jax.Array     # [S, Al] i32: destination - shard offset (sorted)
+    w_loc: jax.Array       # [S, Al] f32: 0 on padding arcs
+    src_rem: jax.Array     # [S, Ar] i32: slot into the flattened recv buffer
+    dst_rem: jax.Array     # [S, Ar] i32: destination - shard offset (sorted)
+    w_rem: jax.Array       # [S, Ar] f32: 0 on padding arcs
     send_idx: jax.Array    # [S, S, Ms] i32: local rows shard s sends to peer p
     rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
@@ -82,7 +93,6 @@ def build_edge_partition(graph: BipartiteGraph, n_shards: int) -> EdgePartition:
 
     bounds = np.searchsorted(dst, np.arange(S + 1) * R)
     shard_arcs = [slice(int(bounds[s]), int(bounds[s + 1])) for s in range(S)]
-    A = max((sl.stop - sl.start for sl in shard_arcs), default=1) or 1
 
     # need[consumer][owner] = sorted unique global source rows.
     need = [[np.empty(0, np.int64)] * S for _ in range(S)]
@@ -95,37 +105,56 @@ def build_edge_partition(graph: BipartiteGraph, n_shards: int) -> EdgePartition:
                 need[s][p] = np.unique(s_src[owner == p])
     max_send = max((len(need[c][o]) for c in range(S) for o in range(S)), default=1) or 1
 
-    src_slot = np.zeros((S, A), np.int32)
-    dst_local = np.full((S, A), R - 1, np.int32)
-    w_norm = np.zeros((S, A), np.float32)
+    # Arcs split by source ownership; per-kind padded widths.
+    loc_masks, rem_masks = [], []
+    for s in range(S):
+        owner = src[shard_arcs[s]] // R
+        loc_masks.append(owner == s)
+        rem_masks.append(owner != s)
+    Al = max((int(m.sum()) for m in loc_masks), default=1) or 1
+    Ar = max((int(m.sum()) for m in rem_masks), default=1) or 1
+
+    src_loc = np.zeros((S, Al), np.int32)
+    dst_loc = np.full((S, Al), R - 1, np.int32)
+    w_loc = np.zeros((S, Al), np.float32)
+    src_rem = np.zeros((S, Ar), np.int32)
+    dst_rem = np.full((S, Ar), R - 1, np.int32)
+    w_rem = np.zeros((S, Ar), np.float32)
     send_idx = np.zeros((S, S, max_send), np.int32)
 
     for s in range(S):
         sl = shard_arcs[s]
-        k = sl.stop - sl.start
         s_src, s_dst, s_w = src[sl], dst[sl], w[sl]
         owner = s_src // R
-        slot = np.empty(k, np.int64)
-        local = owner == s
-        slot[local] = s_src[local] - s * R
+        lm, rm = loc_masks[s], rem_masks[s]
+        kl, kr = int(lm.sum()), int(rm.sum())
+        src_loc[s, :kl] = (s_src[lm] - s * R).astype(np.int32)
+        dst_loc[s, :kl] = (s_dst[lm] - s * R).astype(np.int32)
+        w_loc[s, :kl] = s_w[lm]
+        # Remote arcs: slot into the flattened [S * max_send] recv buffer.
+        r_src, r_owner = s_src[rm], owner[rm]
+        slot = np.empty(kr, np.int64)
         for p in range(S):
             if p == s:
                 continue
-            m = owner == p
+            m = r_owner == p
             if m.any():
-                pos = np.searchsorted(need[s][p], s_src[m])
-                slot[m] = R + p * max_send + pos
+                pos = np.searchsorted(need[s][p], r_src[m])
+                slot[m] = p * max_send + pos
             # Rows shard s must SEND to consumer p = need[p][s] (owned by s).
             rows = need[p][s]
             send_idx[s, p, : len(rows)] = (rows - s * R).astype(np.int32)
-        src_slot[s, :k] = slot
-        dst_local[s, :k] = s_dst - s * R
-        w_norm[s, :k] = s_w
+        src_rem[s, :kr] = slot.astype(np.int32)
+        dst_rem[s, :kr] = (s_dst[rm] - s * R).astype(np.int32)
+        w_rem[s, :kr] = s_w[rm]
 
     return EdgePartition(
-        src_slot=jnp.asarray(src_slot),
-        dst_local=jnp.asarray(dst_local),
-        w_norm=jnp.asarray(w_norm),
+        src_loc=jnp.asarray(src_loc),
+        dst_loc=jnp.asarray(dst_loc),
+        w_loc=jnp.asarray(w_loc),
+        src_rem=jnp.asarray(src_rem),
+        dst_rem=jnp.asarray(dst_rem),
+        w_rem=jnp.asarray(w_rem),
         send_idx=jnp.asarray(send_idx),
         rows_per_shard=R,
         n_shards=S,
@@ -134,24 +163,30 @@ def build_edge_partition(graph: BipartiteGraph, n_shards: int) -> EdgePartition:
     )
 
 
-def _exchange_spmm(x, src_slot, dst_local, w, send_idx, R, axis="model"):
-    """One propagation layer on one shard: exchange boundary rows, then a
-    sorted local segment-sum over this shard's arcs. x: [R, D] local rows."""
+def _exchange_spmm(x, part_local, R, axis="model"):
+    """One propagation layer on one shard. The boundary all_to_all and the
+    local-source partial segment-sum have no data dependency, so XLA's async
+    collectives overlap the ICI exchange with the local SpMM; only the remote
+    partial sum waits on the receive. x: [R, D] local rows."""
+    src_loc, dst_loc, w_loc, src_rem, dst_rem, w_rem, send_idx = part_local
     send = x[send_idx]                                   # [S, Ms, D]
     recv = jax.lax.all_to_all(send, axis, 0, 0)          # [S, Ms, D]
-    x_ext = jnp.concatenate([x, recv.reshape(-1, x.shape[1])], axis=0)
-    msgs = x_ext[src_slot] * w[:, None]
-    return jax.ops.segment_sum(
-        msgs, dst_local, num_segments=R, indices_are_sorted=True
+    out = jax.ops.segment_sum(
+        x[src_loc] * w_loc[:, None], dst_loc, num_segments=R,
+        indices_are_sorted=True,
+    )
+    rem = recv.reshape(-1, x.shape[1])
+    return out + jax.ops.segment_sum(
+        rem[src_rem] * w_rem[:, None], dst_rem, num_segments=R,
+        indices_are_sorted=True,
     )
 
 
 def _embed_local(emb_local, part_local, alpha, num_layers, R):
-    src_slot, dst_local, w, send_idx = part_local
     x = emb_local.astype(jnp.float32)
     out = alpha[0] * x
     for l in range(num_layers):
-        x = _exchange_spmm(x, src_slot, dst_local, w, send_idx, R)
+        x = _exchange_spmm(x, part_local, R)
         out = out + alpha[l + 1] * x
     return out
 
@@ -192,15 +227,25 @@ def make_explicit_fns(
     R = part.rows_per_shard
     alpha = jnp.full((cfg.num_layers + 1,), 1.0 / (cfg.num_layers + 1), jnp.float32)
     part_spec = EdgePartition(
-        src_slot=P("model", None),
-        dst_local=P("model", None),
-        w_norm=P("model", None),
+        src_loc=P("model", None),
+        dst_loc=P("model", None),
+        w_loc=P("model", None),
+        src_rem=P("model", None),
+        dst_rem=P("model", None),
+        w_rem=P("model", None),
         send_idx=P("model", None, None),
         rows_per_shard=R,
         n_shards=part.n_shards,
         max_send=part.max_send,
         num_nodes=part.num_nodes,
     )
+
+    def _locals(part_s):
+        return (
+            part_s.src_loc[0], part_s.dst_loc[0], part_s.w_loc[0],
+            part_s.src_rem[0], part_s.dst_rem[0], part_s.w_rem[0],
+            part_s.send_idx[0],
+        )
 
     @partial(
         shard_map,
@@ -209,11 +254,7 @@ def make_explicit_fns(
         out_specs=P("model", None),
     )
     def embed_sm(emb, part_s):
-        locals_ = (
-            part_s.src_slot[0], part_s.dst_local[0], part_s.w_norm[0],
-            part_s.send_idx[0],
-        )
-        return _embed_local(emb, locals_, alpha, cfg.num_layers, R)
+        return _embed_local(emb, _locals(part_s), alpha, cfg.num_layers, R)
 
     def embed(params, part_: EdgePartition):
         return embed_sm(params["embedding"], part_)
@@ -225,11 +266,7 @@ def make_explicit_fns(
         out_specs=(P(), P(), P()),
     )
     def losses_sm(emb, part_s, users, pos, neg, _alpha):
-        locals_ = (
-            part_s.src_slot[0], part_s.dst_local[0], part_s.w_norm[0],
-            part_s.send_idx[0],
-        )
-        out = _embed_local(emb, locals_, _alpha, cfg.num_layers, R)
+        out = _embed_local(emb, _locals(part_s), _alpha, cfg.num_layers, R)
         u = _lookup(out, users, R)
         p = _lookup(out, pos, R)
         n = _lookup(out, neg, R)

@@ -34,12 +34,13 @@ def test_partition_structure(setup):
     part = build_edge_partition(g, 8)
     assert part.n_shards == 8
     assert part.padded_nodes >= g.num_nodes
-    # Every real arc appears exactly once across shards (weights preserved).
-    total_w = float(np.asarray(part.w_norm).sum())
+    # Every real arc appears exactly once across shards (weights preserved),
+    # split between the local-source and remote-source lists.
+    total_w = float(np.asarray(part.w_loc).sum() + np.asarray(part.w_rem).sum())
     np.testing.assert_allclose(total_w, float(np.asarray(g.w_norm).sum()), rtol=1e-5)
-    # dst_local sorted per shard (padding rows at R-1 keep it sorted).
-    dl = np.asarray(part.dst_local)
-    assert all((np.diff(dl[s]) >= 0).all() for s in range(8))
+    # Destinations sorted per shard per kind (padding rows at R-1 keep it so).
+    for dl in (np.asarray(part.dst_loc), np.asarray(part.dst_rem)):
+        assert all((np.diff(dl[s]) >= 0).all() for s in range(8))
 
 
 def test_explicit_embed_matches_oracle(setup):
