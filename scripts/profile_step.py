@@ -1,19 +1,14 @@
 """On-chip breakdown of the fast-path forward and train step.
 
 Times each constituent of the bipartite fast path at bench scale so
-optimization targets are measured, not guessed:
-  - big-table arc gather alone (take * w)
-  - fast_to_items (gather + Pallas segreduce) vs segment_sum to_items
-  - fast_to_users (binned ELL) vs segment_sum to_users
-  - B_ii paired matmul chain
-  - full fast forward (fops on/off)
-  - train step (batched fast path) with fops on/off
-
-Writes scripts/profile_step_results.json.
+optimization targets are measured, not guessed. RESUMABLE: results accumulate
+in scripts/profile_step_results.json and already-measured keys are skipped,
+so watchdog retries through tunnel outages only re-run what's missing.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -21,17 +16,25 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+RES_PATH = "/root/repo/scripts/profile_step_results.json"
 RESULTS = {}
+if os.path.exists(RES_PATH):
+    with open(RES_PATH) as f:
+        RESULTS = json.load(f)
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def need(*names) -> bool:
+    return any(n not in RESULTS for n in names)
+
+
 def rec(name, val):
     RESULTS[name] = val
     log(f"{name}: {val}")
-    with open("/root/repo/scripts/profile_step_results.json", "w") as f:
+    with open(RES_PATH, "w") as f:
         json.dump(RESULTS, f, indent=1)
 
 
@@ -42,7 +45,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    sys.path.insert(0, "/root/repo")
     import bench
 
     graph, (u, i, w) = bench.build_synthetic_graph()
@@ -73,71 +75,102 @@ def main():
 
     timeit = bench.timeit
 
-    # --- raw gather floor (big table, arc-major, weighted) ---
-    gidx = split.ui_src_user
-    gw = split.ui_w
-    f_g = jax.jit(lambda t, ix, ww: (jnp.take(t, ix, axis=0) * ww[:, None]))
-    rec("gather_weighted_big_ms", round(timeit(f_g, E_u, gidx, gw, reps=3) * 1e3, 2))
+    if need("gather_weighted_big_ms"):
+        f_g = jax.jit(lambda t, ix, ww: (jnp.take(t, ix, axis=0) * ww[:, None]))
+        rec(
+            "gather_weighted_big_ms",
+            round(timeit(f_g, E_u, split.ui_src_user, split.ui_w, reps=3) * 1e3, 2),
+        )
 
-    # --- segment_sum pair ---
-    f_ti = jax.jit(lambda x, s: to_items(x, s))
-    rec("seg_to_items_ms", round(timeit(f_ti, E_u, split, reps=3) * 1e3, 2))
-    f_tu = jax.jit(lambda x, s: to_users(x, s))
-    rec("seg_to_users_ms", round(timeit(f_tu, x_items, split, reps=3) * 1e3, 2))
+    if need("seg_to_items_ms"):
+        f_ti = jax.jit(lambda x, s: to_items(x, s))
+        rec("seg_to_items_ms", round(timeit(f_ti, E_u, split, reps=3) * 1e3, 2))
+    if need("seg_to_users_ms"):
+        f_tu = jax.jit(lambda x, s: to_users(x, s))
+        rec("seg_to_users_ms", round(timeit(f_tu, x_items, split, reps=3) * 1e3, 2))
 
-    # --- fops pair ---
-    t0 = time.perf_counter()
-    fops = build_fast_ops(split, msgs_dtype="bfloat16")
-    rec("build_fast_ops_s", round(time.perf_counter() - t0, 2))
     f_fti = jax.jit(lambda x, fo: fast_to_items(x, fo))
-    rec("fast_to_items_ms", round(timeit(f_fti, E_u, fops, reps=3) * 1e3, 2))
     f_ftu = jax.jit(lambda x, fo: fast_to_users(x, fo))
-    rec("fast_to_users_ms", round(timeit(f_ftu, x_items, fops, reps=3) * 1e3, 2))
 
-    # --- hybrid (dense-heavy-user head) pair ---
-    t0 = time.perf_counter()
-    fops_h = build_fast_ops(
-        split, msgs_dtype="bfloat16", heavy_users=16384, heavy_dtype="bfloat16"
-    )
-    rec("build_fast_ops_hybrid_s", round(time.perf_counter() - t0, 2))
-    rec("hyb_to_items_ms", round(timeit(f_fti, E_u, fops_h, reps=3) * 1e3, 2))
-    rec("hyb_to_users_ms", round(timeit(f_ftu, x_items, fops_h, reps=3) * 1e3, 2))
+    fops = None
+    if need(
+        "fast_to_items_ms", "fast_to_users_ms", "fwd_fops_ms", "train_step_fops_ms"
+    ):
+        t0 = time.perf_counter()
+        fops = build_fast_ops(split, msgs_dtype="bfloat16")
+        rec("build_fast_ops_s", round(time.perf_counter() - t0, 2))
+    if need("fast_to_items_ms"):
+        rec("fast_to_items_ms", round(timeit(f_fti, E_u, fops, reps=3) * 1e3, 2))
+    if need("fast_to_users_ms"):
+        rec("fast_to_users_ms", round(timeit(f_ftu, x_items, fops, reps=3) * 1e3, 2))
 
-    # ELL without the inv_order permutation gather (cost of the un-permute)
-    from gnn_ecommerce_tpu.ops.spmm_fast import ell_apply
+    # Wider-chunk segreduce: fewer grid steps (per-step overhead hypothesis
+    # for the ~54ms kernel gap vs its bandwidth floor).
+    if need("segreduce_ch8192_to_items_ms"):
+        from gnn_ecommerce_tpu.ops.spmm_fast import (
+            build_segreduce_plan,
+            gather_segreduce,
+        )
 
-    def ell_no_perm(x, plan):
-        outs = [
-            jnp.sum(jnp.take(x, ib, axis=0).astype(jnp.float32) * wb[..., None], axis=1)
-            for ib, wb in zip(plan.idx, plan.w)
-        ]
-        return jnp.concatenate(outs, axis=0)
+        plan8k = build_segreduce_plan(
+            np.asarray(split.ui_src_user),
+            np.asarray(split.ui_dst_item),
+            np.asarray(split.ui_w),
+            split.n_items,
+            ot=512,
+            ch=8192,
+        )
+        f_sr = jax.jit(
+            lambda x, p: gather_segreduce(x, p, msgs_dtype=jnp.bfloat16)
+        )
+        rec(
+            "segreduce_ch8192_to_items_ms",
+            round(timeit(f_sr, E_u, plan8k, reps=3) * 1e3, 2),
+        )
+        del plan8k
 
-    f_enp = jax.jit(lambda x, p: ell_no_perm(x, p))
-    rec("ell_no_perm_ms", round(timeit(f_enp, x_items, fops.users_ell, reps=3) * 1e3, 2))
+    fops_h = None
+    if need("hyb_to_items_ms", "hyb_to_users_ms", "fwd_hyb_ms", "train_step_hyb_ms"):
+        t0 = time.perf_counter()
+        fops_h = build_fast_ops(
+            split, msgs_dtype="bfloat16", heavy_users=16384, heavy_dtype="bfloat16"
+        )
+        rec("build_fast_ops_hybrid_s", round(time.perf_counter() - t0, 2))
+    if need("hyb_to_items_ms"):
+        rec("hyb_to_items_ms", round(timeit(f_fti, E_u, fops_h, reps=3) * 1e3, 2))
+    if need("hyb_to_users_ms"):
+        rec("hyb_to_users_ms", round(timeit(f_ftu, x_items, fops_h, reps=3) * 1e3, 2))
 
-    # --- B_ii chain ---
-    log("building B_ii (timed) ...")
+    if not need("fwd_seg_ms", "fwd_fops_ms", "fwd_hyb_ms", "b_pair_matmul_ms",
+                "train_step_seg_ms", "train_step_fops_ms", "train_step_hyb_ms"):
+        log("all B-dependent metrics present; done")
+        return
+
+    log("building B_ii ...")
     t0 = time.perf_counter()
     B = build_item_operator(split, dtype=jnp.bfloat16, band_bytes=1.5e9)
     jax.block_until_ready(B)
-    rec("b_ii_build_s", round(time.perf_counter() - t0, 2))
-    two = jnp.concatenate([x_items, x_items + 1.0], axis=1).astype(jnp.bfloat16)
-    f_b = jax.jit(
-        lambda b, m: jnp.dot(b, m, preferred_element_type=jnp.float32)
-    )
-    rec("b_pair_matmul_ms", round(timeit(f_b, B, two, reps=3) * 1e3, 2))
+    if need("b_ii_build_s"):
+        rec("b_ii_build_s", round(time.perf_counter() - t0, 2))
+    if need("b_pair_matmul_ms"):
+        two = jnp.concatenate([x_items, x_items + 1.0], axis=1).astype(jnp.bfloat16)
+        f_b = jax.jit(lambda b, m: jnp.dot(b, m, preferred_element_type=jnp.float32))
+        rec("b_pair_matmul_ms", round(timeit(f_b, B, two, reps=3) * 1e3, 2))
 
-    fb_seg = FastBipartite(split=split, item_op=B, fops=None)
-    fb_fo = FastBipartite(split=split, item_op=B, fops=fops)
-    fb_hyb = FastBipartite(split=split, item_op=B, fops=fops_h)
-
+    fb_by_tag = {
+        "seg": FastBipartite(split=split, item_op=B, fops=None),
+        "fops": FastBipartite(split=split, item_op=B, fops=fops),
+        "hyb": FastBipartite(split=split, item_op=B, fops=fops_h),
+    }
     f_fwd = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, bench.LAYERS))
-    rec("fwd_seg_ms", round(timeit(f_fwd, params, fb_seg, reps=5) * 1e3, 2))
-    rec("fwd_fops_ms", round(timeit(f_fwd, params, fb_fo, reps=5) * 1e3, 2))
-    rec("fwd_hyb_ms", round(timeit(f_fwd, params, fb_hyb, reps=5) * 1e3, 2))
+    for tag in ("seg", "fops", "hyb"):
+        if need(f"fwd_{tag}_ms"):
+            rec(
+                f"fwd_{tag}_ms",
+                round(timeit(f_fwd, params, fb_by_tag[tag], reps=5) * 1e3, 2),
+            )
 
-    # --- train step, fops on/off ---
+    # --- train steps ---
     import optax
 
     from gnn_ecommerce_tpu.data.prepare import SamplerArrays
@@ -168,7 +201,10 @@ def main():
         ),
     )
 
-    for tag, fb_ in (("seg", fb_seg), ("fops", fb_fo), ("hyb", fb_hyb)):
+    for tag in ("seg", "fops", "hyb"):
+        if not need(f"train_step_{tag}_ms"):
+            continue
+        fb_ = fb_by_tag[tag]
         opt_state = optimizer.init(params)
         p2, opt_state, m = run_steps(params, opt_state, fb_, sdata, jax.random.key(1), 5)
         jax.block_until_ready(p2)
