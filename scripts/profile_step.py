@@ -146,6 +146,12 @@ def main():
         log("all B-dependent metrics present; done")
         return
 
+    # HBM hygiene before the 6 GB operator lands: drop the measurement-only
+    # copies and the one-off ops' executables (try 3 died ResourceExhausted
+    # holding everything at once).
+    del E_u, x_items
+    jax.clear_caches()
+
     log("building B_ii ...")
     t0 = time.perf_counter()
     B = build_item_operator(split, dtype=jnp.bfloat16, band_bytes=1.5e9)
@@ -153,9 +159,12 @@ def main():
     if need("b_ii_build_s"):
         rec("b_ii_build_s", round(time.perf_counter() - t0, 2))
     if need("b_pair_matmul_ms"):
-        two = jnp.concatenate([x_items, x_items + 1.0], axis=1).astype(jnp.bfloat16)
+        two = jnp.asarray(
+            np.tile(np.asarray(E[split.n_users :], np.float32), (1, 2))
+        ).astype(jnp.bfloat16)
         f_b = jax.jit(lambda b, m: jnp.dot(b, m, preferred_element_type=jnp.float32))
         rec("b_pair_matmul_ms", round(timeit(f_b, B, two, reps=3) * 1e3, 2))
+        del two
 
     fb_by_tag = {
         "seg": FastBipartite(split=split, item_op=B, fops=None),
