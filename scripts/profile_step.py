@@ -140,6 +140,28 @@ def main():
         rec("hyb_to_items_ms", round(timeit(f_fti, E_u, fops_h, reps=3) * 1e3, 2))
     if need("hyb_to_users_ms"):
         rec("hyb_to_users_ms", round(timeit(f_ftu, x_items, fops_h, reps=3) * 1e3, 2))
+    if fops_h is not None and need("w_hi_head_ms", "w_hi_T_head_ms"):
+        # Isolate the dense heads: W @ x[hi] (to_items) and W.T @ x (to_users)
+        # — does XLA transpose W physically for the contraction over dim 0?
+        f_w = jax.jit(
+            lambda w_, x, ids: jnp.dot(
+                w_, jnp.take(x, ids, axis=0).astype(w_.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        rec(
+            "w_hi_head_ms",
+            round(timeit(f_w, fops_h.w_hi, E_u, fops_h.hi_ids, reps=5) * 1e3, 2),
+        )
+        f_wt = jax.jit(
+            lambda w_, x: jnp.dot(
+                w_.T, x.astype(w_.dtype), preferred_element_type=jnp.float32
+            )
+        )
+        rec(
+            "w_hi_T_head_ms",
+            round(timeit(f_wt, fops_h.w_hi, x_items, reps=5) * 1e3, 2),
+        )
 
     if not need("fwd_seg_ms", "fwd_fops_ms", "fwd_hyb_ms", "b_pair_matmul_ms",
                 "train_step_seg_ms", "train_step_fops_ms", "train_step_hyb_ms"):
