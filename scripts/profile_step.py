@@ -92,10 +92,18 @@ def main():
     f_fti = jax.jit(lambda x, fo: fast_to_items(x, fo))
     f_ftu = jax.jit(lambda x, fo: fast_to_users(x, fo))
 
+    # ONE B-dependent tag per process (fwd + train step): holding both plan
+    # sets + the 1.8 GB heavy head + the 6 GB operator together exhausts HBM
+    # (tries 3 and 7 died ResourceExhausted). The watchdog re-runs until all
+    # tags are measured.
+    run_tag = None
+    for tag in ("hyb", "fops"):
+        if need(f"fwd_{tag}_ms", f"train_step_{tag}_ms"):
+            run_tag = tag
+            break
+
     fops = None
-    if need(
-        "fast_to_items_ms", "fast_to_users_ms", "fwd_fops_ms", "train_step_fops_ms"
-    ):
+    if need("fast_to_items_ms", "fast_to_users_ms") or run_tag == "fops":
         t0 = time.perf_counter()
         fops = build_fast_ops(split, msgs_dtype="bfloat16")
         rec("build_fast_ops_s", round(time.perf_counter() - t0, 2))
@@ -130,7 +138,7 @@ def main():
         del plan8k
 
     fops_h = None
-    if need("hyb_to_items_ms", "hyb_to_users_ms", "fwd_hyb_ms", "train_step_hyb_ms"):
+    if need("hyb_to_items_ms", "hyb_to_users_ms") or run_tag == "hyb":
         t0 = time.perf_counter()
         fops_h = build_fast_ops(
             split, msgs_dtype="bfloat16", heavy_users=16384, heavy_dtype="bfloat16"
@@ -163,8 +171,7 @@ def main():
             round(timeit(f_wt, fops_h.w_hi, x_items, reps=5) * 1e3, 2),
         )
 
-    if not need("fwd_seg_ms", "fwd_fops_ms", "fwd_hyb_ms", "b_pair_matmul_ms",
-                "train_step_seg_ms", "train_step_fops_ms", "train_step_hyb_ms"):
+    if run_tag is None and not need("b_pair_matmul_ms"):
         log("all B-dependent metrics present; done")
         return
 
@@ -188,18 +195,18 @@ def main():
         rec("b_pair_matmul_ms", round(timeit(f_b, B, two, reps=3) * 1e3, 2))
         del two
 
-    fb_by_tag = {
-        "seg": FastBipartite(split=split, item_op=B, fops=None),
-        "fops": FastBipartite(split=split, item_op=B, fops=fops),
-        "hyb": FastBipartite(split=split, item_op=B, fops=fops_h),
-    }
+    if run_tag is None:
+        log("done (matmul only)")
+        return
+    fb_run = FastBipartite(
+        split=split, item_op=B, fops=fops_h if run_tag == "hyb" else fops
+    )
     f_fwd = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, bench.LAYERS))
-    for tag in ("seg", "fops", "hyb"):
-        if need(f"fwd_{tag}_ms"):
-            rec(
-                f"fwd_{tag}_ms",
-                round(timeit(f_fwd, params, fb_by_tag[tag], reps=5) * 1e3, 2),
-            )
+    if need(f"fwd_{run_tag}_ms"):
+        rec(
+            f"fwd_{run_tag}_ms",
+            round(timeit(f_fwd, params, fb_run, reps=5) * 1e3, 2),
+        )
 
     # --- train steps ---
     import optax
@@ -232,19 +239,21 @@ def main():
         ),
     )
 
-    for tag in ("seg", "fops", "hyb"):
-        if not need(f"train_step_{tag}_ms"):
-            continue
-        fb_ = fb_by_tag[tag]
+    if need(f"train_step_{run_tag}_ms"):
         opt_state = optimizer.init(params)
-        p2, opt_state, m = run_steps(params, opt_state, fb_, sdata, jax.random.key(1), 5)
+        p2, opt_state, m = run_steps(
+            params, opt_state, fb_run, sdata, jax.random.key(1), 5
+        )
         jax.block_until_ready(p2)
-        p2, opt_state, m = run_steps(p2, opt_state, fb_, sdata, jax.random.key(3), 30)
+        p2, opt_state, m = run_steps(p2, opt_state, fb_run, sdata, jax.random.key(3), 30)
         float(m["loss"])
         t0 = time.perf_counter()
-        p2, opt_state, m = run_steps(p2, opt_state, fb_, sdata, jax.random.key(2), 30)
+        p2, opt_state, m = run_steps(p2, opt_state, fb_run, sdata, jax.random.key(2), 30)
         float(m["loss"])
-        rec(f"train_step_{tag}_ms", round((time.perf_counter() - t0) / 30 * 1e3, 2))
+        rec(
+            f"train_step_{run_tag}_ms",
+            round((time.perf_counter() - t0) / 30 * 1e3, 2),
+        )
         del p2, opt_state
 
     log("done")

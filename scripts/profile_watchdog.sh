@@ -39,7 +39,8 @@ for try in $(seq 1 "$MAX_TRIES"); do
   wait "$pid" 2>/dev/null
   rc=$?
   echo "profiler exited rc=$rc" >> scripts/profile_watchdog.log
-  if [ "$rc" -eq 0 ] && grep -q train_step_hyb_ms "$RES" 2>/dev/null; then
+  if [ "$rc" -eq 0 ] && grep -q train_step_hyb_ms "$RES" 2>/dev/null \
+      && grep -q train_step_fops_ms "$RES" 2>/dev/null; then
     echo "complete" >> scripts/profile_watchdog.log
     exit 0
   fi
