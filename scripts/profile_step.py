@@ -103,7 +103,15 @@ def main():
             break
 
     fops = None
-    if need("fast_to_items_ms", "fast_to_users_ms") or run_tag == "fops":
+    if (
+        need(
+            "fast_to_items_ms",
+            "fast_to_users_ms",
+            "gather_cast_bf16_ms",
+            "pallas_kernel_only_ms",
+        )
+        or run_tag == "fops"
+    ):
         t0 = time.perf_counter()
         fops = build_fast_ops(split, msgs_dtype="bfloat16")
         rec("build_fast_ops_s", round(time.perf_counter() - t0, 2))
@@ -111,6 +119,34 @@ def main():
         rec("fast_to_items_ms", round(timeit(f_fti, E_u, fops, reps=3) * 1e3, 2))
     if need("fast_to_users_ms"):
         rec("fast_to_users_ms", round(timeit(f_ftu, x_items, fops, reps=3) * 1e3, 2))
+
+    # Isolate the to_items pipeline stages: fused gather+bf16-cast, and the
+    # Pallas kernel alone on premade msgs (does the 47ms glue live in the
+    # multiply/cast passes or in a Mosaic input relayout?).
+    if need("gather_cast_bf16_ms", "pallas_kernel_only_ms") and fops is not None:
+        from gnn_ecommerce_tpu.ops.spmm_fast import _seg_reduce_call
+
+        plan = fops.items_plan
+        if need("gather_cast_bf16_ms"):
+            f_gc = jax.jit(
+                lambda t, ix: jnp.take(t, ix, axis=0).astype(jnp.bfloat16)
+            )
+            rec(
+                "gather_cast_bf16_ms",
+                round(timeit(f_gc, E_u, plan.gidx, reps=3) * 1e3, 2),
+            )
+        if need("pallas_kernel_only_ms"):
+            msgs = (
+                jnp.take(E_u, plan.gidx, axis=0) * plan.gw[:, None]
+            ).astype(jnp.bfloat16)
+            jax.block_until_ready(msgs)
+            n_tiles = -(-plan.n_out // plan.ot)
+            f_k = lambda m: _seg_reduce_call(
+                plan.tile_map, plan.first, plan.seg, m,
+                ot=plan.ot, ch=plan.ch, d=80, n_tiles=n_tiles, interpret=False,
+            )
+            rec("pallas_kernel_only_ms", round(timeit(f_k, msgs, reps=3) * 1e3, 2))
+            del msgs
 
     # Wider-chunk segreduce: fewer grid steps (per-step overhead hypothesis
     # for the ~54ms kernel gap vs its bandwidth floor).
