@@ -156,13 +156,18 @@ class SegReducePlan:
 
     ``msgs_dtype`` trades reduce throughput for message precision:
     ``float32`` keeps the full f32 message (exact up to summation order);
-    ``bfloat16`` rounds each weighted message once before the MXU reduce
-    (f32 accumulation) — the benchmarked training mode.
+    ``bfloat16`` rounds once per term (measured mode): the table is cast to
+    bf16 and zero-padded to a 128-multiple lane width ONCE per call, the
+    gather then streams raw bf16 rows with no elementwise epilogue (a fused
+    gather+cast/multiply measured 150 ms vs 94 ms for the plain gather at
+    10.16M arcs), and the arc weight is applied INSIDE the kernel by scaling
+    the one-hot column (``w_seg``) — f32 accumulation either way.
     """
 
     gidx: jax.Array      # [E_pad] int32 rows to gather from the table
     gw: jax.Array        # [E_pad] float32 weights (0 on padding)
     seg: jax.Array       # [n_chunks, 8, CH/8] int32 local segment ids
+    w_seg: jax.Array     # [n_chunks, 8, CH/8] float32 weights (kernel layout)
     tile_map: jax.Array  # [n_chunks] int32 output tile per chunk
     first: jax.Array     # [n_chunks] int32 1 on a tile's first chunk
     n_out: int = dataclasses.field(metadata=dict(static=True))
@@ -207,6 +212,7 @@ def build_segreduce_plan(
         gidx=jnp.asarray(gidx),
         gw=jnp.asarray(gw),
         seg=jnp.asarray(seg.reshape(-1, 8, ch // 8)),
+        w_seg=jnp.asarray(gw.reshape(-1, 8, ch // 8)),
         tile_map=jnp.asarray(tile_map),
         first=jnp.asarray(first),
         n_out=int(n_out),
@@ -215,8 +221,17 @@ def build_segreduce_plan(
     )
 
 
-@partial(jax.jit, static_argnames=("ot", "ch", "d", "n_tiles", "interpret"))
-def _seg_reduce_call(tile_map, first, seg, msgs, *, ot, ch, d, n_tiles, interpret):
+@partial(
+    jax.jit, static_argnames=("ot", "ch", "d", "n_tiles", "interpret", "weighted")
+)
+def _seg_reduce_call(
+    tile_map, first, seg, w_seg, msgs, *, ot, ch, d, n_tiles, interpret,
+    weighted=False,
+):
+    """``weighted=False``: msgs already carry the arc weight (one-hot is 0/1).
+    ``weighted=True``: msgs are RAW gathered rows; the arc weight scales the
+    one-hot column instead (saves the elementwise epilogue on the [E, D]
+    stream — measured 150 ms for a fused gather+cast vs 94 ms raw)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -224,7 +239,7 @@ def _seg_reduce_call(tile_map, first, seg, msgs, *, ot, ch, d, n_tiles, interpre
     msgs_dtype = msgs.dtype
     n_chunks = seg.shape[0]
 
-    def kernel(tile_map_ref, first_ref, seg_ref, msgs_ref, out_ref):
+    def kernel(tile_map_ref, first_ref, seg_ref, w_ref, msgs_ref, out_ref):
         c = pl.program_id(0)
 
         @pl.when(first_ref[c] == 1)
@@ -241,7 +256,11 @@ def _seg_reduce_call(tile_map, first, seg, msgs, *, ot, ch, d, n_tiles, interpre
             else jax.lax.Precision.DEFAULT
         )
         for r in range(8):
-            oh = (rows == seg_ref[0, r, :][None, :]).astype(msgs_dtype)
+            hit = rows == seg_ref[0, r, :][None, :]
+            if weighted:
+                oh = jnp.where(hit, w_ref[0, r, :][None, :], 0.0).astype(msgs_dtype)
+            else:
+                oh = hit.astype(msgs_dtype)
             acc += jnp.dot(
                 oh,
                 msgs_ref[r * c8 : (r + 1) * c8, :],
@@ -255,6 +274,7 @@ def _seg_reduce_call(tile_map, first, seg, msgs, *, ot, ch, d, n_tiles, interpre
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0)),
+            pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0)),
             pl.BlockSpec((ch, d), lambda c, tm, fr: (c, 0)),
         ],
         out_specs=pl.BlockSpec((ot, d), lambda c, tm, fr: (tm[c], 0)),
@@ -267,7 +287,7 @@ def _seg_reduce_call(tile_map, first, seg, msgs, *, ot, ch, d, n_tiles, interpre
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_map, first, seg, msgs)
+    )(tile_map, first, seg, w_seg, msgs)
 
 
 def gather_segreduce(
@@ -276,22 +296,33 @@ def gather_segreduce(
     msgs_dtype=jnp.float32,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """[n_out, D] float32 = Â · table: fused XLA gather·weight then the
-    Pallas chunked one-hot segment reduce. ``interpret=None`` auto-selects
-    interpreter mode off-TPU (the kernel is Mosaic-only)."""
+    """[n_out, D] float32 = Â · table: XLA row gather then the Pallas chunked
+    one-hot segment reduce. ``interpret=None`` auto-selects interpreter mode
+    off-TPU (the kernel is Mosaic-only).
+
+    bf16 mode streams RAW rows from a bf16 table zero-padded to a 128-lane
+    multiple (descriptor-rate gather, no elementwise epilogue, natively tiled
+    kernel input) and applies the weight inside the kernel via the scaled
+    one-hot; f32 mode keeps the exact external multiply."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    msgs = (jnp.take(table, plan.gidx, axis=0) * plan.gw[:, None]).astype(msgs_dtype)
+    d = int(table.shape[-1])
     n_tiles = -(-plan.n_out // plan.ot)
+    if msgs_dtype == jnp.bfloat16:
+        d_pad = (-d) % 128
+        t16 = table.astype(jnp.bfloat16)
+        if d_pad:
+            t16 = jnp.pad(t16, ((0, 0), (0, d_pad)))
+        msgs = jnp.take(t16, plan.gidx, axis=0)
+        out = _seg_reduce_call(
+            plan.tile_map, plan.first, plan.seg, plan.w_seg, msgs,
+            ot=plan.ot, ch=plan.ch, d=d + d_pad, n_tiles=n_tiles,
+            interpret=interpret, weighted=True,
+        )
+        return out[: plan.n_out, :d]
+    msgs = (jnp.take(table, plan.gidx, axis=0) * plan.gw[:, None]).astype(msgs_dtype)
     out = _seg_reduce_call(
-        plan.tile_map,
-        plan.first,
-        plan.seg,
-        msgs,
-        ot=plan.ot,
-        ch=plan.ch,
-        d=int(table.shape[-1]),
-        n_tiles=n_tiles,
-        interpret=interpret,
+        plan.tile_map, plan.first, plan.seg, plan.w_seg, msgs,
+        ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
     )
     return out[: plan.n_out]

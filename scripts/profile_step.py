@@ -109,6 +109,7 @@ def main():
             "fast_to_users_ms",
             "gather_cast_bf16_ms",
             "pallas_kernel_only_ms",
+            "pallas_kernel_128_weighted_ms",
         )
         or run_tag == "fops"
     ):
@@ -123,7 +124,14 @@ def main():
     # Isolate the to_items pipeline stages: fused gather+bf16-cast, and the
     # Pallas kernel alone on premade msgs (does the 47ms glue live in the
     # multiply/cast passes or in a Mosaic input relayout?).
-    if need("gather_cast_bf16_ms", "pallas_kernel_only_ms") and fops is not None:
+    if (
+        need(
+            "gather_cast_bf16_ms",
+            "pallas_kernel_only_ms",
+            "pallas_kernel_128_weighted_ms",
+        )
+        and fops is not None
+    ):
         from gnn_ecommerce_tpu.ops.spmm_fast import _seg_reduce_call
 
         plan = fops.items_plan
@@ -142,11 +150,31 @@ def main():
             jax.block_until_ready(msgs)
             n_tiles = -(-plan.n_out // plan.ot)
             f_k = lambda m: _seg_reduce_call(
-                plan.tile_map, plan.first, plan.seg, m,
+                plan.tile_map, plan.first, plan.seg, plan.w_seg, m,
                 ot=plan.ot, ch=plan.ch, d=80, n_tiles=n_tiles, interpret=False,
             )
             rec("pallas_kernel_only_ms", round(timeit(f_k, msgs, reps=3) * 1e3, 2))
             del msgs
+        if need("pallas_kernel_128_weighted_ms"):
+            t16 = jnp.pad(E_u.astype(jnp.bfloat16), ((0, 0), (0, 48)))
+            msgs = jnp.take(t16, plan.gidx, axis=0)
+            jax.block_until_ready(msgs)
+            n_tiles = -(-plan.n_out // plan.ot)
+            f_k = lambda m: _seg_reduce_call(
+                plan.tile_map, plan.first, plan.seg, plan.w_seg, m,
+                ot=plan.ot, ch=plan.ch, d=128, n_tiles=n_tiles, interpret=False,
+                weighted=True,
+            )
+            rec(
+                "pallas_kernel_128_weighted_ms",
+                round(timeit(f_k, msgs, reps=3) * 1e3, 2),
+            )
+            f_g16 = jax.jit(lambda t, ix: jnp.take(t, ix, axis=0))
+            rec(
+                "gather_bf16_padded_ms",
+                round(timeit(f_g16, t16, plan.gidx, reps=3) * 1e3, 2),
+            )
+            del msgs, t16
 
     # Wider-chunk segreduce: fewer grid steps (per-step overhead hypothesis
     # for the ~54ms kernel gap vs its bandwidth floor).
