@@ -222,16 +222,18 @@ def build_segreduce_plan(
 
 
 @partial(
-    jax.jit, static_argnames=("ot", "ch", "d", "n_tiles", "interpret", "weighted")
+    jax.jit,
+    static_argnames=("ot", "ch", "d", "n_tiles", "interpret", "weighted", "fast_f32"),
 )
 def _seg_reduce_call(
     tile_map, first, seg, w_seg, msgs, *, ot, ch, d, n_tiles, interpret,
-    weighted=False,
+    weighted=False, fast_f32=False,
 ):
     """``weighted=False``: msgs already carry the arc weight (one-hot is 0/1).
     ``weighted=True``: msgs are RAW gathered rows; the arc weight scales the
-    one-hot column instead (saves the elementwise epilogue on the [E, D]
-    stream — measured 150 ms for a fused gather+cast vs 94 ms raw)."""
+    one-hot column instead. ``fast_f32``: f32 msgs reduced with ONE bf16 MXU
+    pass (DEFAULT precision) — the benchmarked mode's rounding, without ever
+    materializing a bf16 copy of the message stream."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -248,11 +250,11 @@ def _seg_reduce_call(
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (ot, c8), 0)
         acc = jnp.zeros((ot, d), jnp.float32)
-        # f32 messages need HIGHEST precision: the MXU's default f32 dot is a
+        # Exact f32 needs HIGHEST precision: the MXU's default f32 dot is a
         # single bf16 pass (~3 decimal digits), measured 5e-3 relative error.
         prec = (
             jax.lax.Precision.HIGHEST
-            if msgs_dtype == jnp.float32
+            if msgs_dtype == jnp.float32 and not fast_f32
             else jax.lax.Precision.DEFAULT
         )
         for r in range(8):
@@ -308,21 +310,13 @@ def gather_segreduce(
         interpret = jax.default_backend() != "tpu"
     d = int(table.shape[-1])
     n_tiles = -(-plan.n_out // plan.ot)
-    if msgs_dtype == jnp.bfloat16:
-        d_pad = (-d) % 128
-        t16 = table.astype(jnp.bfloat16)
-        if d_pad:
-            t16 = jnp.pad(t16, ((0, 0), (0, d_pad)))
-        msgs = jnp.take(t16, plan.gidx, axis=0)
-        out = _seg_reduce_call(
-            plan.tile_map, plan.first, plan.seg, plan.w_seg, msgs,
-            ot=plan.ot, ch=plan.ch, d=d + d_pad, n_tiles=n_tiles,
-            interpret=interpret, weighted=True,
-        )
-        return out[: plan.n_out, :d]
-    msgs = (jnp.take(table, plan.gidx, axis=0) * plan.gw[:, None]).astype(msgs_dtype)
+    # The weight multiply fuses into the gather for FREE (measured 94 ms with
+    # ×w vs 96 without) but a bf16 cast epilogue does NOT (150 ms) — so bf16
+    # "mode" keeps f32 messages and rounds inside the MXU (one bf16 pass).
+    msgs = jnp.take(table, plan.gidx, axis=0) * plan.gw[:, None]
     out = _seg_reduce_call(
         plan.tile_map, plan.first, plan.seg, plan.w_seg, msgs,
         ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
+        fast_f32=msgs_dtype == jnp.bfloat16,
     )
     return out[: plan.n_out]
