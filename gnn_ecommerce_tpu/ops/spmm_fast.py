@@ -249,7 +249,6 @@ def _seg_reduce_call(
             out_ref[:] = jnp.zeros_like(out_ref)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (ot, c8), 0)
-        acc = jnp.zeros((ot, d), jnp.float32)
         # Exact f32 needs HIGHEST precision: the MXU's default f32 dot is a
         # single bf16 pass (~3 decimal digits), measured 5e-3 relative error.
         prec = (
@@ -257,19 +256,26 @@ def _seg_reduce_call(
             if msgs_dtype == jnp.float32 and not fast_f32
             else jax.lax.Precision.DEFAULT
         )
+        # One [ot, CH] one-hot per chunk (8 lane-aligned [ot, CH/8] pieces
+        # concatenated) feeding a SINGLE MXU dot — 8 small K=CH/8 dots per
+        # chunk measured ~2x slower than their input-DMA floor.
+        oh_dtype = msgs_dtype
+        pieces = []
         for r in range(8):
             hit = rows == seg_ref[0, r, :][None, :]
             if weighted:
-                oh = jnp.where(hit, w_ref[0, r, :][None, :], 0.0).astype(msgs_dtype)
+                pieces.append(
+                    jnp.where(hit, w_ref[0, r, :][None, :], 0.0).astype(oh_dtype)
+                )
             else:
-                oh = hit.astype(msgs_dtype)
-            acc += jnp.dot(
-                oh,
-                msgs_ref[r * c8 : (r + 1) * c8, :],
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-        out_ref[:] += acc
+                pieces.append(hit.astype(oh_dtype))
+        oh = jnp.concatenate(pieces, axis=1)  # [ot, CH]
+        out_ref[:] += jnp.dot(
+            oh,
+            msgs_ref[:, :],
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -155,6 +155,41 @@ def main():
             )
             rec("pallas_kernel_only_ms", round(timeit(f_k, msgs, reps=3) * 1e3, 2))
             del msgs
+        if need("pallas_stream_only_ms"):
+            # DMA control: a kernel that only sums its msgs blocks — pins the
+            # segreduce kernel's input-stream floor vs its compute cost.
+            from functools import partial as _partial
+
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            ch, ot = plan.ch, plan.ot
+            n_chunks = int(plan.seg.shape[0])
+
+            def _stream_kernel(msgs_ref, out_ref):
+                out_ref[:] += jnp.sum(
+                    msgs_ref[:, :].astype(jnp.float32), axis=0, keepdims=True
+                )
+
+            f_s = jax.jit(
+                lambda m: pl.pallas_call(
+                    _stream_kernel,
+                    grid=(n_chunks,),
+                    in_specs=[pl.BlockSpec((ch, 80), lambda c: (c, 0))],
+                    out_specs=pl.BlockSpec((1, 80), lambda c: (0, 0)),
+                    out_shape=jax.ShapeDtypeStruct((1, 80), jnp.float32),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("arbitrary",)
+                    ),
+                )(m)
+            )
+            msgs = (
+                jnp.take(E_u, plan.gidx, axis=0) * plan.gw[:, None]
+            ).astype(jnp.bfloat16)
+            jax.block_until_ready(msgs)
+            rec("pallas_stream_only_ms", round(timeit(f_s, msgs, reps=3) * 1e3, 2))
+            del msgs
+
         if need("pallas_kernel_128_weighted_ms"):
             t16 = jnp.pad(E_u.astype(jnp.bfloat16), ((0, 0), (0, 48)))
             msgs = jnp.take(t16, plan.gidx, axis=0)
