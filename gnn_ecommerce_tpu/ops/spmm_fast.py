@@ -326,13 +326,23 @@ def gather_segreduce(
         interpret = jax.default_backend() != "tpu"
     d = int(table.shape[-1])
     n_tiles = -(-plan.n_out // plan.ot)
-    # The weight multiply fuses into the gather for FREE (measured 94 ms with
-    # ×w vs 96 without) but a bf16 cast epilogue does NOT (150 ms) — so bf16
-    # "mode" keeps f32 messages and rounds inside the MXU (one bf16 pass).
+    if msgs_dtype == jnp.bfloat16:
+        # bf16 mode: cast the TABLE once (a [N, D] pass), gather raw bf16
+        # rows, and apply the arc weight inside the kernel by scaling the
+        # one-hot column. Rationale (all measured at 10.16M arcs): a bf16
+        # cast epilogue fused into the gather costs 150 ms vs 94 raw, and an
+        # f32 message temp pays TPU's 80→128 lane padding at f32 width —
+        # 3.83 GB live, which OOMs the train step next to the 6 GB B_ii.
+        msgs = jnp.take(table.astype(jnp.bfloat16), plan.gidx, axis=0)
+        out = _seg_reduce_call(
+            plan.tile_map, plan.first, plan.seg, plan.w_seg, msgs,
+            ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
+            weighted=True,
+        )
+        return out[: plan.n_out]
     msgs = jnp.take(table, plan.gidx, axis=0) * plan.gw[:, None]
     out = _seg_reduce_call(
         plan.tile_map, plan.first, plan.seg, plan.w_seg, msgs,
         ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
-        fast_f32=msgs_dtype == jnp.bfloat16,
     )
     return out[: plan.n_out]
