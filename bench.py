@@ -200,7 +200,7 @@ def main():
                 t_fops_build = tb  # one-time cost of the WINNING plan
                 edges_per_s = logical_edges / t_fast
             else:
-                del fops, fb_fo
+                del fops, fb_fo, fast_fo  # the lambda default pins fb_fo's HBM
         except Exception as e:
             log(f"{label} unavailable: {type(e).__name__}: {e}")
     t_build += t_fops_build

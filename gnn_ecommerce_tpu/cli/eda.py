@@ -18,8 +18,9 @@ import html
 import json
 import sys
 
+import pandas as pd
+
 from ..data.eda import event_stats
-from .preprocess import load_events
 
 
 def _report_html(events, stats: dict) -> str:
@@ -67,7 +68,15 @@ def main(argv=None):
     ap.add_argument("--report", help="write a self-contained HTML profile here")
     args = ap.parse_args(argv)
 
-    events = load_events(args.events, args.user_col, args.item_col)
+    # Full pandas read: the profile covers EVERY raw column (the reference
+    # dump has 9; the native reader extracts only the three the pipeline
+    # needs, which would silently shrink the report).
+    events = pd.read_csv(args.events).rename(
+        columns={args.user_col: "user_id", args.item_col: "item_id"}
+    )
+    missing = {"user_id", "item_id", "event_type"} - set(events.columns)
+    if missing:
+        sys.exit(f"events CSV missing columns: {sorted(missing)}")
     stats = event_stats(events)
     print(json.dumps(stats, indent=1))
     if args.stats:

@@ -24,11 +24,25 @@ def load_events(
 ) -> pd.DataFrame:
     """Load an event CSV via the native multithreaded reader (integer-id
     fast path; ~the reference's 2.43 GB raw dump is single-threaded pandas,
-    ``notebooks/0.eda.ipynb`` cell 7), falling back to ``pandas.read_csv``."""
+    ``notebooks/0.eda.ipynb`` cell 7), falling back to ``pandas.read_csv``.
+
+    The native reader drops rows whose id fields don't parse as integers
+    (string/UUID ids, quoted embedded newlines), so any non-trivial drop
+    ratio vs the file's raw line count routes the whole load to pandas
+    rather than silently losing data."""
     from .. import native
 
     try:
         u, i, t = native.read_events_csv(path, user_col, item_col)
+        n_lines = 0
+        with open(path, "rb") as f:
+            while chunk := f.read(1 << 24):
+                n_lines += chunk.count(b"\n")
+        if len(u) < 0.999 * max(n_lines - 1, 1):
+            raise ValueError(
+                f"native reader kept {len(u)}/{n_lines - 1} rows; "
+                "non-integer ids or quoted newlines — using pandas"
+            )
         return pd.DataFrame({"user_id": u, "item_id": i, "event_type": t})
     except Exception:
         events = pd.read_csv(path)

@@ -22,13 +22,13 @@ def load_movielens(path: str, positive_threshold: int = 4) -> pd.DataFrame:
     """Return edges (user_id, item_id, weight) from a MovieLens ratings file."""
     with open(path, "rb") as f:
         head = f.readline().decode(errors="replace")
-    if "::" in head:
-        df = pd.read_csv(path, sep="::", engine="python", header=None)
-    elif "\t" in head:
-        df = pd.read_csv(path, sep="\t", header=None)
-    else:
-        header = 0 if any(c.isalpha() for c in head.split(",")[0]) else None
-        df = pd.read_csv(path, header=header)
+    sep = "::" if "::" in head else ("\t" if "\t" in head else ",")
+    # Header if the first field isn't numeric (applies to every separator).
+    header = 0 if any(c.isalpha() for c in head.split(sep)[0]) else None
+    df = pd.read_csv(
+        path, sep=sep, header=header,
+        engine="python" if sep == "::" else "c",
+    )
     df = df.iloc[:, :3]
     df.columns = ["user_id", "item_id", "rating"]
     rating = df["rating"].astype(np.float64)

@@ -78,7 +78,7 @@ def _load():
         lib.pair_count.argtypes = [i64p, i64, i64]
         lib.pair_count.restype = i64
         lib.read_events_csv.argtypes = [
-            ctypes.c_char_p, i64, i64, i64, i64, i64,
+            ctypes.c_void_p, i64, i64, i64, i64, i64,
             i64p, i64p, u8p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ]
         lib.read_events_csv.restype = i64
@@ -218,31 +218,60 @@ def read_events_csv(
     Returns (user_ids int64 [N], item_ids int64 [N], event_types: pandas-
     ready object array of type strings [N]).
     """
+    import mmap
+
     lib = _load()
     if lib is None:
         raise RuntimeError("native graph_core unavailable")
+    size = os.path.getsize(path)
+    if size == 0:
+        return (
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, dtype=object),
+        )
+    # mmap instead of f.read(): the reference raw dump is 2.43 GB and the
+    # host has ~2 cores and tight memory — no bytes copy, no body-slice copy
+    # (ACCESS_COPY gives a writable view for from_buffer without touching
+    # the file; the C side never writes it).
     with open(path, "rb") as f:
-        data = f.read()
-    nl = data.find(b"\n")
-    header = data[: nl if nl >= 0 else len(data)].decode().strip("\r")
-    cols = [c.strip().strip('"') for c in header.split(",")]
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_COPY)
     try:
-        cu, ci, ct = cols.index(user_col), cols.index(item_col), cols.index(type_col)
-    except ValueError as e:
-        raise ValueError(f"missing column in {cols}: {e}") from None
-    body = data[nl + 1 :] if nl >= 0 else b""
-    cap = body.count(b"\n") + 1
-    out_u = np.empty(cap, dtype=np.int64)
-    out_i = np.empty(cap, dtype=np.int64)
-    out_t = np.empty(cap, dtype=np.uint8)
-    type_names = ctypes.create_string_buffer(32 * 64)
-    n_types = ctypes.c_int64(0)
-    if n_threads is None:
-        n_threads = min(8, os.cpu_count() or 1)
-    n = lib.read_events_csv(
-        body, len(body), cu, ci, ct, n_threads,
-        out_u, out_i, out_t, type_names, ctypes.byref(n_types),
-    )
+        nl = mm.find(b"\n")
+        header = mm[: nl if nl >= 0 else size].decode().strip("\r")
+        cols = [c.strip().strip('"') for c in header.split(",")]
+        try:
+            cu, ci, ct = (
+                cols.index(user_col), cols.index(item_col), cols.index(type_col)
+            )
+        except ValueError as e:
+            raise ValueError(f"missing column in {cols}: {e}") from None
+        off = nl + 1 if nl >= 0 else size
+        body_len = size - off
+        if body_len:
+            body_view = np.frombuffer(mm, dtype=np.uint8, offset=off)
+            cap = int((body_view == 0x0A).sum()) + 1
+            del body_view
+        else:
+            cap = 1
+        out_u = np.empty(cap, dtype=np.int64)
+        out_i = np.empty(cap, dtype=np.int64)
+        out_t = np.empty(cap, dtype=np.uint8)
+        type_names = ctypes.create_string_buffer(32 * 64)
+        n_types = ctypes.c_int64(0)
+        if n_threads is None:
+            n_threads = min(8, os.cpu_count() or 1)
+        base = ctypes.addressof(ctypes.c_char.from_buffer(mm))
+        n = lib.read_events_csv(
+            ctypes.c_void_p(base + off), body_len, cu, ci, ct, n_threads,
+            out_u, out_i, out_t, type_names, ctypes.byref(n_types),
+        )
+    finally:
+        # from_buffer holds an export on mm; drop before closing.
+        base = None
+        import gc
+
+        gc.collect()
+        mm.close()
     names = [
         type_names.raw[k * 64 : (k + 1) * 64].split(b"\0")[0].decode()
         for k in range(n_types.value)

@@ -280,6 +280,12 @@ void bfs_batch(const int64_t* indptr, const int64_t* indices, int64_t n_nodes,
 // (caller drops them). Event-type strings are interned into a tiny global
 // table (≤ MAX_TYPES) under a mutex — insertions are rare (4 types in the
 // reference data).
+//
+// LIMITATION: row splitting is on raw '\n' and does NOT honor quote state,
+// so a quoted field containing an embedded newline splits its row into
+// fragments (usually dropped via id -1). The Python caller compares parsed
+// rows against the file's raw line count and falls back to pandas on any
+// non-trivial drop ratio, so such files are handled correctly end to end.
 // ---------------------------------------------------------------------------
 
 static const int64_t MAX_TYPES = 32;
@@ -371,6 +377,7 @@ int64_t read_events_csv(const char* data, int64_t size, int64_t col_u,
   std::vector<int64_t> starts(n_threads + 1, 0);
   for (int64_t k = 1; k < n_threads; ++k) {
     int64_t pos = size * k / n_threads;
+    if (pos < 1) pos = 1;  // data[pos - 1] below must stay in-bounds
     while (pos < size && data[pos - 1] != '\n') ++pos;
     starts[k] = pos;
   }

@@ -177,6 +177,14 @@ def build_fast_ops(
             rank = np.full(n_users, -1, np.int64)
             rank[hi] = np.arange(len(hi))
             m = rank[ui_src] >= 0
+            # Sum duplicate (item, user) arcs before the fill (plain
+            # assignment would keep only the LAST weight while the sparse
+            # plans sum them — build_graph does not deduplicate edge rows).
+            key = ui_dst[m].astype(np.int64) * len(hi) + rank[ui_src[m]]
+            order = np.argsort(key, kind="stable")
+            key_s, w_s = key[order], ui_w[m][order].astype(np.float32)
+            uniq, start = np.unique(key_s, return_index=True)
+            w_sum = np.add.reduceat(w_s, start) if len(start) else w_s
             if heavy_dtype == "bfloat16":
                 # Fill in bf16 directly: converting a dense f32 [I, K] after
                 # the fact is an 894M-element single-threaded pass (measured
@@ -184,12 +192,12 @@ def build_fast_ops(
                 import ml_dtypes
 
                 dense = np.zeros((n_items, len(hi)), ml_dtypes.bfloat16)
-                dense[ui_dst[m], rank[ui_src[m]]] = ui_w[m].astype(
+                dense[uniq // len(hi), uniq % len(hi)] = w_sum.astype(
                     ml_dtypes.bfloat16
                 )
             else:
                 dense = np.zeros((n_items, len(hi)), np.float32)
-                dense[ui_dst[m], rank[ui_src[m]]] = ui_w[m]
+                dense[uniq // len(hi), uniq % len(hi)] = w_sum
             hi_ids = jnp.asarray(hi.astype(np.int32))
             w_hi = jnp.asarray(dense)
             # Tail arcs only (both directions drop the heavy users' arcs).

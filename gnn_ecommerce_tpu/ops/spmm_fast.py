@@ -78,7 +78,7 @@ class EllPlan:
 
 
 def _ell_widths(max_deg: int) -> list[int]:
-    """×1.5 width schedule (1, 2, 3, 4, 6, 9, 13, ...): ~17% mean padding vs
+    """×1.5 width schedule (1, 2, 3, 5, 8, 12, 18, ...): ~17% mean padding vs
     ~35% for power-of-2 bins on the measured power-law tails, at the cost of
     a handful more gather dispatches."""
     ws, W = [1, 2, 3], 3
@@ -167,17 +167,17 @@ class SegReducePlan:
     ``msgs_dtype`` trades reduce throughput for message precision:
     ``float32`` keeps the full f32 message (exact up to summation order);
     ``bfloat16`` rounds once per term (measured mode): the table is cast to
-    bf16 and zero-padded to a 128-multiple lane width ONCE per call, the
-    gather then streams raw bf16 rows with no elementwise epilogue (a fused
-    gather+cast/multiply measured 150 ms vs 94 ms for the plain gather at
-    10.16M arcs), and the arc weight is applied INSIDE the kernel by scaling
-    the one-hot column (``w_seg``) — f32 accumulation either way.
+    bf16 ONCE per call, the gather then streams raw bf16 rows with no
+    elementwise epilogue (a fused gather+cast measured 150 ms vs 94 ms for
+    the plain gather at 10.16M arcs; 128-lane padding was ALSO measured and
+    rejected — the padded-table gather is slower, ~157 ms), and the arc
+    weight is applied INSIDE the kernel by scaling the one-hot column
+    (``w_seg``) — f32 accumulation either way.
     """
 
     gidx: jax.Array      # [E_pad] int32 rows to gather from the table
     gw: jax.Array        # [E_pad] float32 weights (0 on padding)
     seg: jax.Array       # [n_chunks, 8, CH/8] int32 local segment ids
-    w_seg: jax.Array     # [n_chunks, 8, CH/8] float32 weights (kernel layout)
     tile_map: jax.Array  # [n_chunks] int32 output tile per chunk
     first: jax.Array     # [n_chunks] int32 1 on a tile's first chunk
     n_out: int = dataclasses.field(metadata=dict(static=True))
@@ -222,7 +222,6 @@ def build_segreduce_plan(
         gidx=jnp.asarray(gidx),
         gw=jnp.asarray(gw),
         seg=jnp.asarray(seg.reshape(-1, 8, ch // 8)),
-        w_seg=jnp.asarray(gw.reshape(-1, 8, ch // 8)),
         tile_map=jnp.asarray(tile_map),
         first=jnp.asarray(first),
         n_out=int(n_out),
@@ -251,7 +250,8 @@ def _seg_reduce_call(
     msgs_dtype = msgs.dtype
     n_chunks = seg.shape[0]
 
-    def kernel(tile_map_ref, first_ref, seg_ref, w_ref, msgs_ref, out_ref):
+    def kernel(tile_map_ref, first_ref, seg_ref, *rest):
+        w_ref, msgs_ref, out_ref = rest if weighted else (None, *rest)
         c = pl.program_id(0)
 
         @pl.when(first_ref[c] == 1)
@@ -287,16 +287,17 @@ def _seg_reduce_call(
             precision=prec,
         )
 
+    seg_spec = pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0))
+    in_specs = [seg_spec] + ([seg_spec] if weighted else []) + [
+        pl.BlockSpec((ch, d), lambda c, tm, fr: (c, 0))
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0)),
-            pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0)),
-            pl.BlockSpec((ch, d), lambda c, tm, fr: (c, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ot, d), lambda c, tm, fr: (tm[c], 0)),
     )
+    args = (tile_map, first, seg) + ((w_seg,) if weighted else ()) + (msgs,)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -305,7 +306,7 @@ def _seg_reduce_call(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_map, first, seg, w_seg, msgs)
+    )(*args)
 
 
 def gather_segreduce(
@@ -318,9 +319,9 @@ def gather_segreduce(
     one-hot segment reduce. ``interpret=None`` auto-selects interpreter mode
     off-TPU (the kernel is Mosaic-only).
 
-    bf16 mode streams RAW rows from a bf16 table zero-padded to a 128-lane
-    multiple (descriptor-rate gather, no elementwise epilogue, natively tiled
-    kernel input) and applies the weight inside the kernel via the scaled
+    bf16 mode casts the table once and streams RAW bf16 rows at native
+    width (descriptor-rate gather, no elementwise epilogue; 128-lane padding
+    measured SLOWER), applying the weight inside the kernel via the scaled
     one-hot; f32 mode keeps the exact external multiply."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -334,15 +335,16 @@ def gather_segreduce(
         # f32 message temp pays TPU's 80→128 lane padding at f32 width —
         # 3.83 GB live, which OOMs the train step next to the 6 GB B_ii.
         msgs = jnp.take(table.astype(jnp.bfloat16), plan.gidx, axis=0)
+        w_seg = plan.gw.reshape(-1, 8, plan.ch // 8)
         out = _seg_reduce_call(
-            plan.tile_map, plan.first, plan.seg, plan.w_seg, msgs,
+            plan.tile_map, plan.first, plan.seg, w_seg, msgs,
             ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
             weighted=True,
         )
         return out[: plan.n_out]
     msgs = jnp.take(table, plan.gidx, axis=0) * plan.gw[:, None]
     out = _seg_reduce_call(
-        plan.tile_map, plan.first, plan.seg, plan.w_seg, msgs,
+        plan.tile_map, plan.first, plan.seg, None, msgs,
         ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
     )
     return out[: plan.n_out]

@@ -150,7 +150,7 @@ def main():
             jax.block_until_ready(msgs)
             n_tiles = -(-plan.n_out // plan.ot)
             f_k = lambda m: _seg_reduce_call(
-                plan.tile_map, plan.first, plan.seg, plan.w_seg, m,
+                plan.tile_map, plan.first, plan.seg, None, m,
                 ot=plan.ot, ch=plan.ch, d=80, n_tiles=n_tiles, interpret=False,
             )
             rec("pallas_kernel_only_ms", round(timeit(f_k, msgs, reps=3) * 1e3, 2))
@@ -195,8 +195,9 @@ def main():
             msgs = jnp.take(t16, plan.gidx, axis=0)
             jax.block_until_ready(msgs)
             n_tiles = -(-plan.n_out // plan.ot)
+            wseg = plan.gw.reshape(-1, 8, plan.ch // 8)
             f_k = lambda m: _seg_reduce_call(
-                plan.tile_map, plan.first, plan.seg, plan.w_seg, m,
+                plan.tile_map, plan.first, plan.seg, wseg, m,
                 ot=plan.ot, ch=plan.ch, d=128, n_tiles=n_tiles, interpret=False,
                 weighted=True,
             )

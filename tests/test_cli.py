@@ -138,3 +138,16 @@ def test_movielens_loader_and_training(tmp_path, monkeypatch):
         ["--movielens", str(udata), "-e", "1", "--dim", "8", "--layers", "2"]
     )
     assert os.path.exists("model-checkpoints/LightGCN_best/checkpoint.npz")
+
+
+def test_movielens_tsv_with_header(tmp_path):
+    from gnn_ecommerce_tpu.data.movielens import load_movielens
+
+    path = tmp_path / "ratings.tsv"
+    path.write_text(
+        "user_id\titem_id\trating\ttimestamp\n1\t10\t5\t99\n2\t11\t2\t99\n"
+    )
+    edges = load_movielens(str(path))
+    assert len(edges) == 2
+    assert edges.loc[0, "weight"] == 1.0
+    assert edges.loc[1, "weight"] == pytest.approx(0.2)

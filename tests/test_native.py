@@ -181,3 +181,34 @@ def test_read_events_csv_matches_pandas(rng, tmp_path):
         str(path), user_col="user_id", item_col="product_id"
     )
     assert len(u2) == n
+
+
+def test_read_events_csv_tiny_file_many_threads(tmp_path):
+    """Thread-range splitter must not read out of bounds on bodies smaller
+    than the thread count (data[pos-1] guard)."""
+    native = pytest.importorskip("gnn_ecommerce_tpu.native")
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    path = tmp_path / "tiny.csv"
+    path.write_text("user_id,event_type,item_id\n1,view,2\n")
+    u, i, t = native.read_events_csv(str(path), n_threads=8)
+    assert list(u) == [1] and list(i) == [2] and list(t) == ["view"]
+
+
+def test_load_events_string_ids_fall_back_to_pandas(tmp_path):
+    """String/UUID ids must route to pandas, not silently drop every row."""
+    import pandas as pd
+
+    from gnn_ecommerce_tpu.cli.preprocess import load_events
+
+    path = tmp_path / "events.csv"
+    pd.DataFrame(
+        {
+            "user_id": ["u1", "u2", "u1"],
+            "item_id": ["itemA", "itemB", "itemA"],
+            "event_type": ["view", "purchase", "cart"],
+        }
+    ).to_csv(path, index=False)
+    events = load_events(str(path))
+    assert len(events) == 3
+    assert set(events["user_id"]) == {"u1", "u2"}

@@ -161,3 +161,20 @@ def test_bf16_to_users_gather_close(small):
     ref = to_users(x, split)
     out = fast_to_users(x, fops_bf16)  # bf16 table gather, f32 accumulate
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_hybrid_sums_duplicate_arcs():
+    """Duplicate (user, item) edge rows must SUM in the dense head exactly as
+    they do in the sparse plans (plain assignment kept only the last)."""
+    u = np.array([0, 0, 1, 2, 0])
+    i = np.array([1, 1, 0, 2, 1])  # (0, 1) appears three times
+    w = np.array([0.3, 0.5, 1.0, 0.7, 0.2], np.float32)
+    graph = build_graph(u, i, w, 3, 3)
+    split = split_graph(graph)
+    fops_h = build_fast_ops(split, heavy_users=3)
+    x = jax.random.normal(jax.random.key(0), (split.n_users, 4), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fast_to_items(x, fops_h)),
+        np.asarray(to_items(x, split)),
+        rtol=2e-5, atol=2e-5,
+    )
