@@ -185,21 +185,18 @@ def build_fast_ops(
             key_s, w_s = key[order], ui_w[m][order].astype(np.float32)
             uniq, start = np.unique(key_s, return_index=True)
             w_sum = np.add.reduceat(w_s, start) if len(start) else w_s
-            if heavy_dtype == "bfloat16":
-                # Fill in bf16 directly: converting a dense f32 [I, K] after
-                # the fact is an 894M-element single-threaded pass (measured
-                # 30-200 s of the plan build); this converts only the nnz.
-                import ml_dtypes
-
-                dense = np.zeros((n_items, len(hi)), ml_dtypes.bfloat16)
-                dense[uniq // len(hi), uniq % len(hi)] = w_sum.astype(
-                    ml_dtypes.bfloat16
-                )
-            else:
-                dense = np.zeros((n_items, len(hi)), np.float32)
-                dense[uniq // len(hi), uniq % len(hi)] = w_sum
+            # Build W ON DEVICE from the deduplicated COO: uploading a dense
+            # [n_items, K] head (1.8 GB bf16 at bench scale) costs 50-160 s
+            # through the tunnel; the COO is ~27 MB and one unique-index
+            # scatter fills it in milliseconds.
+            dt = jnp.bfloat16 if heavy_dtype == "bfloat16" else jnp.float32
+            w_hi = (
+                jnp.zeros((n_items * len(hi),), dt)
+                .at[jnp.asarray(uniq.astype(np.int64))]
+                .set(jnp.asarray(w_sum).astype(dt), unique_indices=True)
+                .reshape(n_items, len(hi))
+            )
             hi_ids = jnp.asarray(hi.astype(np.int32))
-            w_hi = jnp.asarray(dense)
             # Tail arcs only (both directions drop the heavy users' arcs).
             keep = ~m
             ui_src, ui_dst, ui_w = ui_src[keep], ui_dst[keep], ui_w[keep]
