@@ -136,22 +136,62 @@ def main():
     t_layered = timeit(layered, params, reps=2)
     log(f"layered segment path: {t_layered*1e3:.0f} ms / {LAYERS} layers")
 
-    # --- one-time: dense item-item 2-hop operator (static graph) ---
-    log("building B_ii item operator (one-time per graph) ...")
+    # --- one-time builds: the dense item-item 2-hop operator (device-bound)
+    # and the SpMM plans (native-C++ host layout + array uploads), OVERLAPPED
+    # on a thread — the plan build needs no device compute, so its host work
+    # and uploads hide behind the B_ii build's device dispatches. The heavy-
+    # user hybrid candidate is built first (it has won every measurement,
+    # CLAUDE.md perf state); plain plans only as fallback if it fails.
+    log("building B_ii item operator + SpMM plans (one-time per graph) ...")
     num_arcs = graph.num_arcs
     t0 = time.perf_counter()
-    from gnn_ecommerce_tpu.ops.bipartite import build_item_operator, split_graph, FastBipartite
+    from gnn_ecommerce_tpu.ops.bipartite import (
+        FastBipartite,
+        build_fast_ops,
+        build_item_operator,
+        split_graph,
+    )
 
     fbsplit = split_graph(graph)
     del graph, layered, layered2  # free the unified arc arrays' HBM
     jax.clear_caches()            # drop compiled executables + their buffers
+
+    import threading
+
+    plans: dict = {}
+
+    def build_plans():
+        for label, kwargs in (
+            ("spmm plans + heavy-user head (K=16384)",
+             dict(heavy_users=16384, heavy_dtype="bfloat16")),
+            ("spmm plans (ELL + pallas segreduce)", {}),
+        ):
+            try:
+                tb = time.perf_counter()
+                fops = build_fast_ops(fbsplit, msgs_dtype="bfloat16", **kwargs)
+                jax.block_until_ready(jax.tree.leaves(fops))
+                plans["fops"] = fops
+                plans["label"] = label
+                plans["build_s"] = time.perf_counter() - tb
+                return
+            except Exception as e:
+                log(f"{label} build failed: {type(e).__name__}: {e}")
+
+    plan_thread = threading.Thread(target=build_plans, daemon=True)
+    plan_thread.start()
     fb = FastBipartite(
         split=fbsplit,
         item_op=build_item_operator(fbsplit, dtype=jnp.bfloat16, band_bytes=1.5e9),
     )
     jax.block_until_ready(fb.item_op)
-    t_build = time.perf_counter() - t0
-    log(f"B_ii built in {t_build:.1f}s ({fb.item_op.nbytes/1e9:.2f} GB bf16)")
+    t_bii = time.perf_counter() - t0
+    plan_thread.join()
+    t_build = time.perf_counter() - t0  # B_ii ∥ plan builds, wall clock
+    log(
+        f"one-time build {t_build:.1f}s (B_ii {t_bii:.1f}s, "
+        f"{fb.item_op.nbytes/1e9:.2f} GB bf16; plan "
+        f"{plans.get('build_s', float('nan')):.1f}s overlapped)"
+    )
 
     # --- fast bipartite path (fb passed as an ARG: closing over it would
     # bake the 6GB item operator into the executable as a captured constant) ---
@@ -166,44 +206,26 @@ def main():
     )
 
     # --- fast path with the measured-optimal SpMM plans (ops/spmm_fast.py:
-    # to_items = gather + Pallas one-hot-MXU segment reduce; to_users =
-    # degree-binned ELL), with and without the dense-heavy-user hybrid head
-    # (top-16K users' arcs ride the MXU as one [n_items, 16K] bf16 matmul —
-    # ~22% of arcs leave the descriptor-bound gathers). Each candidate is
-    # timed and the best kept. Guarded: a Mosaic failure must not kill the
-    # bench.
-    fast_fo2 = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, LAYERS))
-    t_fops_build = 0.0
-    for label, kwargs in (
-        ("spmm plans (ELL + pallas segreduce)", {}),
-        ("spmm plans + heavy-user head (K=16384)",
-         dict(heavy_users=16384, heavy_dtype="bfloat16")),
-    ):
+    # to_items = gather + Pallas one-hot-MXU segment reduce + dense heavy-
+    # user head; to_users = degree-binned ELL + head). Timed against the
+    # plain segment path and the best kept — a Mosaic failure must not kill
+    # the bench.
+    if "fops" in plans:
         try:
-            from gnn_ecommerce_tpu.ops.bipartite import build_fast_ops
-
-            tb = time.perf_counter()
-            fops = build_fast_ops(fb.split, msgs_dtype="bfloat16", **kwargs)
-            jax.block_until_ready(jax.tree.leaves(fops))
-            tb = time.perf_counter() - tb
-            fb_fo = FastBipartite(split=fb.split, item_op=fb.item_op, fops=fops)
-            fast_fo = lambda p, fb_=fb_fo: fast_fo2(p, fb_)
+            fast_fo2 = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, LAYERS))
+            fb_fo = FastBipartite(split=fb.split, item_op=fb.item_op, fops=plans["fops"])
+            fast_fo = lambda p: fast_fo2(p, fb_fo)
             t_fo = timeit(fast_fo, params, reps=10)
-            log(
-                f"fast + {label}: {t_fo*1e3:.1f} ms ({t_fast/t_fo:.2f}x; "
-                f"plan build {tb:.0f}s)"
-            )
+            log(f"fast + {plans['label']}: {t_fo*1e3:.1f} ms ({t_fast/t_fo:.2f}x)")
             if t_fo < t_fast:
                 fast = fast_fo
                 t_fast = t_fo
                 fb = fb_fo
-                t_fops_build = tb  # one-time cost of the WINNING plan
                 edges_per_s = logical_edges / t_fast
             else:
-                del fops, fb_fo, fast_fo  # the lambda default pins fb_fo's HBM
+                del fb_fo, fast_fo
         except Exception as e:
-            log(f"{label} unavailable: {type(e).__name__}: {e}")
-    t_build += t_fops_build
+            log(f"{plans['label']} unavailable: {type(e).__name__}: {e}")
 
     # --- train step (fast path) ---
     purch = w == 1.0

@@ -82,6 +82,20 @@ def _load():
             i64p, i64p, u8p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ]
         lib.read_events_csv.restype = i64
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.segreduce_plan_sizes.argtypes = [
+            i32p, i64, i64, i64, i64, i64p, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.segreduce_plan_sizes.restype = i64
+        lib.segreduce_plan_fill.argtypes = [
+            i32p, i32p, f32p, i64, i64, i64, i64, i64p,
+            i32p, f32p, i32p, i32p, i32p, i64,
+        ]
+        lib.segreduce_plan_fill.restype = None
+        lib.ell_sort_by_degree.argtypes = [i64p, i64, i64p]
+        lib.ell_sort_by_degree.restype = i64
+        lib.ell_fill_bin.argtypes = [i64p, i32p, f32p, i64p, i64, i64, i32p, f32p]
+        lib.ell_fill_bin.restype = None
         _LIB = lib
         return _LIB
 
@@ -200,6 +214,84 @@ def pair_aggregate(
         out_a, out_b, out_v,
     )
     return out_a[:m].copy(), out_b[:m].copy(), out_v[:m].copy()
+
+
+def segreduce_plan(
+    src: np.ndarray,
+    dst_sorted: np.ndarray,
+    w: np.ndarray,
+    n_out: int,
+    ot: int,
+    ch: int,
+):
+    """Padded chunk layout for the Pallas segment-reduce plan
+    (``ops/spmm_fast.build_segreduce_plan``): two linear C passes instead of
+    numpy's repeat/arange/cumsum/fancy-index chain over the 10M-arc arrays.
+
+    Returns (gidx int32 [e_pad], gw f32 [e_pad], seg int32 [e_pad],
+    tile_map int32 [n_chunks], first int32 [n_chunks]); None if the native
+    library is unavailable (caller falls back to numpy).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst_sorted = np.ascontiguousarray(dst_sorted, dtype=np.int32)
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    n_tiles = -(-int(n_out) // int(ot)) if n_out else 0
+    cnt = np.empty(max(n_tiles, 1), dtype=np.int64)
+    n_chunks = ctypes.c_int64(0)
+    e_pad = int(
+        lib.segreduce_plan_sizes(
+            dst_sorted, len(src), int(n_out), int(ot), int(ch), cnt,
+            ctypes.byref(n_chunks),
+        )
+    )
+    gidx = np.empty(e_pad, dtype=np.int32)
+    gw = np.empty(e_pad, dtype=np.float32)
+    seg = np.empty(e_pad, dtype=np.int32)
+    tile_map = np.empty(n_chunks.value, dtype=np.int32)
+    first = np.empty(n_chunks.value, dtype=np.int32)
+    lib.segreduce_plan_fill(
+        src, dst_sorted, w, len(src), int(n_out), int(ot), int(ch), cnt,
+        gidx, gw, seg, tile_map, first, e_pad,
+    )
+    return gidx, gw, seg, tile_map, first
+
+
+def ell_sort_by_degree(indptr: np.ndarray):
+    """Stable counting sort of CSR rows by degree (ascending). Returns
+    (order int64 [n_rows], max_deg); None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    order = np.empty(len(indptr) - 1, dtype=np.int64)
+    max_deg = int(lib.ell_sort_by_degree(indptr, len(indptr) - 1, order))
+    return order, max_deg
+
+
+def ell_fill_bin(
+    indptr: np.ndarray,
+    src: np.ndarray,
+    w: np.ndarray,
+    rows: np.ndarray,
+    width: int,
+):
+    """Densify one ELL degree bin: returns (ib int32 [nb, W], wb f32 [nb, W])
+    zero-padded; None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    nb = len(rows)
+    ib = np.empty((nb, int(width)), dtype=np.int32)
+    wb = np.empty((nb, int(width)), dtype=np.float32)
+    lib.ell_fill_bin(indptr, src, w, rows, nb, int(width), ib, wb)
+    return ib, wb
 
 
 def read_events_csv(

@@ -433,4 +433,104 @@ int64_t read_events_csv(const char* data, int64_t size, int64_t col_u,
   return row_off[n_threads];
 }
 
+// ---------------------------------------------------------------------------
+// SpMM plan builders (ops/spmm_fast.py). The numpy versions make many full
+// passes over the 10M-arc arrays (repeat/arange/cumsum/fancy-index) and cost
+// seconds per build on the 2-core host (tens of seconds under contention);
+// these are the same layouts in one or two passes each.
+// ---------------------------------------------------------------------------
+
+// Pass 1 of the segment-reduce plan: per-OT-row output tile, count arcs and
+// whole-CH chunks. dst_sorted is ascending. Writes per-tile arc counts
+// (cnt [n_tiles]) and returns the padded arc total e_pad; n_chunks_out gets
+// the chunk count. O(E + n_tiles).
+int64_t segreduce_plan_sizes(const int32_t* dst_sorted, int64_t n_arcs,
+                             int64_t n_out, int64_t ot, int64_t ch,
+                             int64_t* cnt /* [n_tiles] */,
+                             int64_t* n_chunks_out) {
+  const int64_t n_tiles = (n_out + ot - 1) / ot;
+  for (int64_t t = 0; t < n_tiles; ++t) cnt[t] = 0;
+  for (int64_t e = 0; e < n_arcs; ++e) cnt[dst_sorted[e] / ot]++;
+  int64_t e_pad = 0, n_chunks = 0;
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    const int64_t chunks = cnt[t] ? (cnt[t] + ch - 1) / ch : 1;
+    n_chunks += chunks;
+    e_pad += chunks * ch;
+  }
+  *n_chunks_out = n_chunks;
+  return e_pad;
+}
+
+// Pass 2: scatter arcs into the padded per-tile chunk layout and emit the
+// grid maps. Padding slots keep gidx=0 / gw=0 / seg=0 (zero weight makes the
+// one-hot column a no-op). One linear pass over arcs.
+void segreduce_plan_fill(const int32_t* src, const int32_t* dst_sorted,
+                         const float* w, int64_t n_arcs, int64_t n_out,
+                         int64_t ot, int64_t ch,
+                         const int64_t* cnt /* [n_tiles] from sizes */,
+                         int32_t* gidx, float* gw, int32_t* seg,
+                         int32_t* tile_map, int32_t* first, int64_t e_pad) {
+  const int64_t n_tiles = (n_out + ot - 1) / ot;
+  std::memset(gidx, 0, e_pad * sizeof(int32_t));
+  std::memset(gw, 0, e_pad * sizeof(float));
+  std::memset(seg, 0, e_pad * sizeof(int32_t));
+  // Per-tile padded start offsets + grid maps.
+  std::vector<int64_t> start(n_tiles);
+  int64_t off = 0, c = 0;
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    start[t] = off;
+    const int64_t chunks = cnt[t] ? (cnt[t] + ch - 1) / ch : 1;
+    for (int64_t k = 0; k < chunks; ++k, ++c) {
+      tile_map[c] = static_cast<int32_t>(t);
+      first[c] = (k == 0) ? 1 : 0;
+    }
+    off += chunks * ch;
+  }
+  // Arcs are dst-sorted, so per-tile fills are sequential runs.
+  std::vector<int64_t> cursor(start);
+  for (int64_t e = 0; e < n_arcs; ++e) {
+    const int64_t t = dst_sorted[e] / ot;
+    const int64_t p = cursor[t]++;
+    gidx[p] = src[e];
+    gw[p] = w[e];
+    seg[p] = static_cast<int32_t>(dst_sorted[e] - t * ot);
+  }
+}
+
+// Degree sort for the ELL plan: stable counting sort of rows by degree.
+// Writes order [n_rows] (ascending degree, ties in row order) and returns
+// the max degree. O(n_rows + max_deg).
+int64_t ell_sort_by_degree(const int64_t* indptr, int64_t n_rows,
+                           int64_t* order) {
+  int64_t max_deg = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t d = indptr[r + 1] - indptr[r];
+    if (d > max_deg) max_deg = d;
+  }
+  std::vector<int64_t> count(max_deg + 2, 0);
+  for (int64_t r = 0; r < n_rows; ++r) count[indptr[r + 1] - indptr[r] + 1]++;
+  for (int64_t d = 0; d <= max_deg; ++d) count[d + 1] += count[d];
+  for (int64_t r = 0; r < n_rows; ++r)
+    order[count[indptr[r + 1] - indptr[r]]++] = r;
+  return max_deg;
+}
+
+// Fill one ELL degree bin: rows = order[lo:hi] (degrees <= W), emit dense
+// [nb, W] index/weight blocks (zero padding). One pass over the bin's arcs.
+void ell_fill_bin(const int64_t* indptr, const int32_t* src, const float* w,
+                  const int64_t* rows, int64_t nb, int64_t W, int32_t* ib,
+                  float* wb) {
+  std::memset(ib, 0, nb * W * sizeof(int32_t));
+  std::memset(wb, 0, nb * W * sizeof(float));
+  for (int64_t k = 0; k < nb; ++k) {
+    const int64_t r = rows[k], lo = indptr[r], d = indptr[r + 1] - lo;
+    int32_t* ibk = ib + k * W;
+    float* wbk = wb + k * W;
+    for (int64_t j = 0; j < d; ++j) {
+      ibk[j] = src[lo + j];
+      wbk[j] = w[lo + j];
+    }
+  }
+}
+
 }  // extern "C"

@@ -93,11 +93,17 @@ def build_ell_plan(
 ) -> EllPlan:
     """Build from a CSR over destinations (``indptr`` [n_out+1] into
     dst-sorted ``src``/``w`` arc arrays)."""
+    from .. import native
+
     indptr = np.asarray(indptr, dtype=np.int64)
     src = np.asarray(src)
     w = np.asarray(w)
     deg = np.diff(indptr)
-    order = np.argsort(deg, kind="stable")  # ascending degree
+    sorted_native = native.ell_sort_by_degree(indptr) if n_out else None
+    if sorted_native is not None:
+        order, _ = sorted_native
+    else:
+        order = np.argsort(deg, kind="stable")  # ascending degree
     dsort = deg[order]
     idx_bins, w_bins, widths = [], [], []
     lo = 0
@@ -109,16 +115,20 @@ def build_ell_plan(
             continue
         rows = order[lo:hi]
         nb = len(rows)
-        d = deg[rows]
-        ib = np.zeros((nb, W), np.int32)
-        wb = np.zeros((nb, W), np.float32)
-        flat_rows = np.repeat(np.arange(nb), d)
-        flat_cols = np.arange(int(d.sum())) - np.repeat(
-            np.cumsum(np.append(0, d[:-1])), d
-        )
-        take = np.repeat(indptr[rows], d) + flat_cols
-        ib[flat_rows, flat_cols] = src[take]
-        wb[flat_rows, flat_cols] = w[take]
+        filled = native.ell_fill_bin(indptr, src, w, rows, W)
+        if filled is not None:
+            ib, wb = filled
+        else:
+            d = deg[rows]
+            ib = np.zeros((nb, W), np.int32)
+            wb = np.zeros((nb, W), np.float32)
+            flat_rows = np.repeat(np.arange(nb), d)
+            flat_cols = np.arange(int(d.sum())) - np.repeat(
+                np.cumsum(np.append(0, d[:-1])), d
+            )
+            take = np.repeat(indptr[rows], d) + flat_cols
+            ib[flat_rows, flat_cols] = src[take]
+            wb[flat_rows, flat_cols] = w[take]
         idx_bins.append(jnp.asarray(ib))
         w_bins.append(jnp.asarray(wb))
         widths.append(W)
@@ -193,9 +203,24 @@ def build_segreduce_plan(
     ot: int = 512,
     ch: int = 2048,
 ) -> SegReducePlan:
+    from .. import native
+
     src = np.asarray(src)
     dst_sorted = np.asarray(dst_sorted)
     w = np.asarray(w)
+    planned = native.segreduce_plan(src, dst_sorted, w, n_out, ot, ch)
+    if planned is not None:
+        gidx, gw, seg, tile_map, first = planned
+        return SegReducePlan(
+            gidx=jnp.asarray(gidx),
+            gw=jnp.asarray(gw),
+            seg=jnp.asarray(seg.reshape(-1, 8, ch // 8)),
+            tile_map=jnp.asarray(tile_map),
+            first=jnp.asarray(first),
+            n_out=int(n_out),
+            ot=int(ot),
+            ch=int(ch),
+        )
     n_tiles = -(-n_out // ot)
     bounds = np.searchsorted(dst_sorted, np.arange(n_tiles + 1) * ot)
     cnt = np.diff(bounds)

@@ -212,3 +212,42 @@ def test_load_events_string_ids_fall_back_to_pandas(tmp_path):
     events = load_events(str(path))
     assert len(events) == 3
     assert set(events["user_id"]) == {"u1", "u2"}
+
+
+@requires_native
+def test_segreduce_plan_native_matches_numpy(rng, monkeypatch):
+    import gnn_ecommerce_tpu.ops.spmm_fast as sf
+
+    E, n_out, n_src = 20_000, 700, 5_000
+    dst = np.sort(rng.integers(0, n_out, E).astype(np.int32))
+    src = rng.integers(0, n_src, E).astype(np.int32)
+    w = rng.random(E).astype(np.float32)
+    p_nat = sf.build_segreduce_plan(src, dst, w, n_out, ot=512, ch=2048)
+    monkeypatch.setattr(native, "segreduce_plan", lambda *a, **k: None)
+    p_np = sf.build_segreduce_plan(src, dst, w, n_out, ot=512, ch=2048)
+    for f in ("gidx", "gw", "seg", "tile_map", "first"):
+        a, b = np.asarray(getattr(p_nat, f)), np.asarray(getattr(p_np, f))
+        assert a.shape == b.shape and (a == b).all(), f
+    assert (p_nat.n_out, p_nat.ot, p_nat.ch) == (p_np.n_out, p_np.ot, p_np.ch)
+
+
+@requires_native
+def test_ell_plan_native_matches_numpy(rng, monkeypatch):
+    import gnn_ecommerce_tpu.ops.spmm_fast as sf
+
+    n_rows, n_src = 3_000, 5_000
+    deg = rng.integers(0, 25, n_rows)
+    deg[rng.integers(0, n_rows, 5)] = 0  # empty rows
+    indptr = np.append(0, np.cumsum(deg)).astype(np.int64)
+    E = int(indptr[-1])
+    src = rng.integers(0, n_src, E).astype(np.int32)
+    w = rng.random(E).astype(np.float32)
+    e_nat = sf.build_ell_plan(indptr, src, w, n_rows)
+    monkeypatch.setattr(native, "ell_sort_by_degree", lambda *a, **k: None)
+    monkeypatch.setattr(native, "ell_fill_bin", lambda *a, **k: None)
+    e_np = sf.build_ell_plan(indptr, src, w, n_rows)
+    assert e_nat.widths == e_np.widths
+    assert (np.asarray(e_nat.inv_order) == np.asarray(e_np.inv_order)).all()
+    for ia, ib, wa, wb in zip(e_nat.idx, e_np.idx, e_nat.w, e_np.w):
+        assert (np.asarray(ia) == np.asarray(ib)).all()
+        assert (np.asarray(wa) == np.asarray(wb)).all()
