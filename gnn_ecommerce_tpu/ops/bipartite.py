@@ -156,8 +156,20 @@ def build_fast_ops(
     msgs_dtype: str = "float32",
     heavy_users: int = 0,
     heavy_dtype: str = "float32",
+    src_buckets: int = 0,
 ) -> FastOps:
-    from .spmm_fast import build_ell_plan, build_segreduce_plan
+    """``src_buckets > 0`` builds the to_items gather plan bucketed by src
+    user range (``spmm_fast.BucketedSegReducePlan``): the arbitrary-row
+    gather rate cliffs with table size on the target chip (~161M rows/s from
+    ≤262K-row tables vs ~96M from the 1.64M-row user table, scripts/
+    microbench_r3*_results.json), so each bucket gathers from a ≤262K-row
+    static slice at the fast rate. Exact restructure (per-tile summation
+    order becomes bucket-major)."""
+    from .spmm_fast import (
+        build_bucketed_segreduce_plan,
+        build_ell_plan,
+        build_segreduce_plan,
+    )
 
     ui_src = np.asarray(split.ui_src_user)
     ui_dst = np.asarray(split.ui_dst_item)
@@ -206,7 +218,12 @@ def build_fast_ops(
             iu_indptr = np.append(0, np.cumsum(deg_tail))
             iu_src, iu_w = iu_src[keep_iu], iu_w[keep_iu]
 
-    items_plan = build_segreduce_plan(ui_src, ui_dst, ui_w, n_items)
+    if src_buckets > 0:
+        items_plan = build_bucketed_segreduce_plan(
+            ui_src, ui_dst, ui_w, n_items, n_src=n_users, n_buckets=src_buckets
+        )
+    else:
+        items_plan = build_segreduce_plan(ui_src, ui_dst, ui_w, n_items)
     users_ell = build_ell_plan(iu_indptr, iu_src, iu_w, n_users)
     return FastOps(
         items_plan=items_plan,
@@ -221,9 +238,18 @@ def build_fast_ops(
 def fast_to_items(x_users, fops: FastOps):
     """out_items = Â_iu · x_users via gather + Pallas segment reduce
     (+ optional dense MXU matmul for the heavy-user head)."""
-    from .spmm_fast import gather_segreduce
+    from .spmm_fast import (
+        BucketedSegReducePlan,
+        gather_segreduce,
+        gather_segreduce_bucketed,
+    )
 
-    out = gather_segreduce(
+    reduce_fn = (
+        gather_segreduce_bucketed
+        if isinstance(fops.items_plan, BucketedSegReducePlan)
+        else gather_segreduce
+    )
+    out = reduce_fn(
         x_users,
         fops.items_plan,
         msgs_dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
@@ -569,6 +595,7 @@ def build_fast_bipartite(
     msgs_dtype: str = "float32",
     heavy_users: int = 0,
     heavy_dtype: str = "float32",
+    src_buckets: int = 0,
 ) -> FastBipartite:
     split = split_graph(graph)
     fops = (
@@ -577,6 +604,7 @@ def build_fast_bipartite(
             msgs_dtype=msgs_dtype,
             heavy_users=heavy_users,
             heavy_dtype=heavy_dtype,
+            src_buckets=src_buckets,
         )
         if fast_ops
         else None

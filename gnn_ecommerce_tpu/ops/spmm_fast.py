@@ -49,12 +49,15 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "BucketedSegReducePlan",
     "EllPlan",
     "SegReducePlan",
+    "build_bucketed_segreduce_plan",
     "build_ell_plan",
     "build_segreduce_plan",
     "ell_apply",
     "gather_segreduce",
+    "gather_segreduce_bucketed",
 ]
 
 
@@ -257,31 +260,59 @@ def build_segreduce_plan(
 
 @partial(
     jax.jit,
-    static_argnames=("ot", "ch", "d", "n_tiles", "interpret", "weighted", "fast_f32"),
+    static_argnames=(
+        "ot", "ch", "d", "n_tiles", "interpret", "weighted", "fast_f32",
+    ),
 )
 def _seg_reduce_call(
-    tile_map, first, seg, w_seg, msgs, *, ot, ch, d, n_tiles, interpret,
-    weighted=False, fast_f32=False,
+    tile_map, first, seg, w_seg, msgs, prev=None, msg_map=None, live=None,
+    *, ot, ch, d, n_tiles, interpret, weighted=False, fast_f32=False,
 ):
     """``weighted=False``: msgs already carry the arc weight (one-hot is 0/1).
     ``weighted=True``: msgs are RAW gathered rows; the arc weight scales the
     one-hot column instead. ``fast_f32``: f32 msgs reduced with ONE bf16 MXU
     pass (DEFAULT precision) — the benchmarked mode's rounding, without ever
-    materializing a bf16 copy of the message stream."""
+    materializing a bf16 copy of the message stream.
+
+    ``prev`` (optional [n_tiles*ot, d] f32): accumulate INTO prev instead of
+    zero-initializing each tile — every output tile must then be visited by
+    at least one chunk (the plan builders guarantee ≥1 chunk per tile), since
+    unvisited out blocks are never written. Used to chain per-src-bucket
+    calls (see :func:`gather_segreduce_bucketed`).
+
+    ``msg_map``/``live`` (optional [n_chunks] int32, given together): explicit
+    msgs-block index per chunk and a dead-chunk flag. Bucketed plans pad all
+    buckets to ONE chunk count so every per-bucket pallas_call lowers to the
+    SAME Mosaic program (one remote kernel compile instead of n_buckets);
+    dead pad chunks repeat the last real block index (no DMA refetch — the
+    block index is unchanged) and skip the one-hot/dot entirely.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     c8 = ch // 8
     msgs_dtype = msgs.dtype
     n_chunks = seg.shape[0]
+    accum = prev is not None
+    mapped = msg_map is not None
+    n_prefetch = 4 if mapped else 2
 
-    def kernel(tile_map_ref, first_ref, seg_ref, *rest):
-        w_ref, msgs_ref, out_ref = rest if weighted else (None, *rest)
+    def kernel(tile_map_ref, first_ref, *rest):
+        rest = list(rest)
+        msg_map_ref = rest.pop(0) if mapped else None
+        live_ref = rest.pop(0) if mapped else None
+        seg_ref = rest.pop(0)
+        w_ref = rest.pop(0) if weighted else None
+        prev_ref = rest.pop(0) if accum else None
+        msgs_ref, out_ref = rest
         c = pl.program_id(0)
 
         @pl.when(first_ref[c] == 1)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            if accum:
+                out_ref[:] = prev_ref[:]
+            else:
+                out_ref[:] = jnp.zeros_like(out_ref)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (ot, c8), 0)
         # Exact f32 needs HIGHEST precision: the MXU's default f32 dot is a
@@ -295,34 +326,62 @@ def _seg_reduce_call(
         # concatenated) feeding a SINGLE MXU dot — 8 small K=CH/8 dots per
         # chunk measured ~2x slower than their input-DMA floor.
         oh_dtype = msgs_dtype
-        pieces = []
-        for r in range(8):
-            hit = rows == seg_ref[0, r, :][None, :]
-            if weighted:
-                pieces.append(
-                    jnp.where(hit, w_ref[0, r, :][None, :], 0.0).astype(oh_dtype)
-                )
-            else:
-                pieces.append(hit.astype(oh_dtype))
-        oh = jnp.concatenate(pieces, axis=1)  # [ot, CH]
-        out_ref[:] += jnp.dot(
-            oh,
-            msgs_ref[:, :],
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
 
-    seg_spec = pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0))
-    in_specs = [seg_spec] + ([seg_spec] if weighted else []) + [
-        pl.BlockSpec((ch, d), lambda c, tm, fr: (c, 0))
-    ]
+        def accumulate():
+            pieces = []
+            for r in range(8):
+                hit = rows == seg_ref[0, r, :][None, :]
+                if weighted:
+                    pieces.append(
+                        jnp.where(hit, w_ref[0, r, :][None, :], 0.0).astype(oh_dtype)
+                    )
+                else:
+                    pieces.append(hit.astype(oh_dtype))
+            oh = jnp.concatenate(pieces, axis=1)  # [ot, CH]
+            out_ref[:] += jnp.dot(
+                oh,
+                msgs_ref[:, :],
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+
+        if mapped:
+            pl.when(live_ref[c] == 1)(accumulate)
+        else:
+            accumulate()
+
+    if mapped:
+        # Dead pad chunks repeat the previous chunk's block indices, so the
+        # pipeline skips their DMAs; tile_map keeps the out block unchanged.
+        n_chunks = int(tile_map.shape[0])
+        seg_spec = pl.BlockSpec((1, 8, c8), lambda c, tm, fr, mm, lv: (mm[c], 0, 0))
+        out_like_spec = pl.BlockSpec((ot, d), lambda c, tm, fr, mm, lv: (tm[c], 0))
+        msgs_spec = pl.BlockSpec((ch, d), lambda c, tm, fr, mm, lv: (mm[c], 0))
+        prefetch = (tile_map, first, msg_map, live)
+    else:
+        seg_spec = pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0))
+        out_like_spec = pl.BlockSpec((ot, d), lambda c, tm, fr: (tm[c], 0))
+        msgs_spec = pl.BlockSpec((ch, d), lambda c, tm, fr: (c, 0))
+        prefetch = (tile_map, first)
+    in_specs = (
+        [seg_spec]
+        + ([seg_spec] if weighted else [])
+        + ([out_like_spec] if accum else [])
+        + [msgs_spec]
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=n_prefetch,
         grid=(n_chunks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((ot, d), lambda c, tm, fr: (tm[c], 0)),
+        out_specs=out_like_spec,
     )
-    args = (tile_map, first, seg) + ((w_seg,) if weighted else ()) + (msgs,)
+    args = (
+        prefetch
+        + (seg,)
+        + ((w_seg,) if weighted else ())
+        + ((prev,) if accum else ())
+        + (msgs,)
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -332,6 +391,33 @@ def _seg_reduce_call(
         ),
         interpret=interpret,
     )(*args)
+
+
+def _segreduce_one(table, plan: SegReducePlan, msgs_dtype, interpret, prev):
+    """One gather + kernel pass for ``plan``; accumulates into ``prev`` when
+    given (padded [n_tiles*ot, d] f32). Returns the PADDED output."""
+    d = int(table.shape[-1])
+    n_tiles = -(-plan.n_out // plan.ot)
+    if msgs_dtype == jnp.bfloat16:
+        # bf16 mode: the caller pre-casts the table (once, not per bucket);
+        # gather raw bf16 rows and apply the arc weight inside the kernel by
+        # scaling the one-hot column. Rationale (all measured at 10.16M
+        # arcs): a bf16 cast epilogue fused into the gather costs 150 ms vs
+        # 94 raw, and an f32 message temp pays TPU's 80→128 lane padding at
+        # f32 width — 3.83 GB live, which OOMs the train step next to the
+        # 6 GB B_ii.
+        msgs = jnp.take(table, plan.gidx, axis=0)
+        w_seg = plan.gw.reshape(-1, 8, plan.ch // 8)
+        return _seg_reduce_call(
+            plan.tile_map, plan.first, plan.seg, w_seg, msgs, prev,
+            ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
+            weighted=True,
+        )
+    msgs = jnp.take(table, plan.gidx, axis=0) * plan.gw[:, None]
+    return _seg_reduce_call(
+        plan.tile_map, plan.first, plan.seg, None, msgs, prev,
+        ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
+    )
 
 
 def gather_segreduce(
@@ -350,26 +436,87 @@ def gather_segreduce(
     one-hot; f32 mode keeps the exact external multiply."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if msgs_dtype == jnp.bfloat16:
+        table = table.astype(jnp.bfloat16)
+    out = _segreduce_one(table, plan, msgs_dtype, interpret, None)
+    return out[: plan.n_out]
+
+
+# ---------------------------------------------------------------------------
+# Src-range-bucketed variant: gathers from sliced sub-tables
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BucketedSegReducePlan:
+    """Per-src-range bucketed :class:`SegReducePlan` stack.
+
+    Measured on the target chip (scripts/microbench_r3*_results.json): the
+    arbitrary-row gather rate CLIFFS with table size — ~161M rows/s from
+    tables ≤262K rows vs ~96M from the 1.64M-row user table. Splitting the
+    src ids into equal ranges lets each bucket gather from a ≤262K-row
+    STATIC SLICE of the table at the fast rate. Each bucket holds a full
+    per-tile chunk layout over ONLY its arcs (every tile keeps ≥1 chunk),
+    and the kernel passes chain: bucket b accumulates into bucket b-1's
+    padded output (``prev``), so revisited-tile ordering stays consecutive
+    within every pallas_call. Cost: one padded chunk tail per (bucket, tile)
+    pair (a few % of arcs at cosmetics scale with 8 buckets).
+    """
+
+    buckets: tuple  # SegReducePlan per src range (gidx LOCAL to the range)
+    spans: tuple = dataclasses.field(metadata=dict(static=True))  # ((lo, hi), ...)
+    n_out: int = dataclasses.field(metadata=dict(static=True))
+    ot: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_bucketed_segreduce_plan(
+    src: np.ndarray,
+    dst_sorted: np.ndarray,
+    w: np.ndarray,
+    n_out: int,
+    n_src: int,
+    n_buckets: int = 8,
+    ot: int = 512,
+    ch: int = 2048,
+) -> BucketedSegReducePlan:
+    src = np.asarray(src)
+    dst_sorted = np.asarray(dst_sorted)
+    w = np.asarray(w)
+    bounds = np.linspace(0, n_src, n_buckets + 1).astype(np.int64)
+    plans, spans = [], []
+    for b in range(n_buckets):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        m = (src >= lo) & (src < hi)
+        plans.append(
+            build_segreduce_plan(
+                (src[m] - lo).astype(src.dtype), dst_sorted[m], w[m], n_out,
+                ot=ot, ch=ch,
+            )
+        )
+        spans.append((lo, hi))
+    return BucketedSegReducePlan(
+        buckets=tuple(plans), spans=tuple(spans), n_out=int(n_out), ot=int(ot)
+    )
+
+
+def gather_segreduce_bucketed(
+    table: jax.Array,
+    plan: BucketedSegReducePlan,
+    msgs_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Bucketed :func:`gather_segreduce`: per src range, gather from a static
+    table slice (fast-rate sub-table) and chain the kernel passes through the
+    running padded accumulator."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     d = int(table.shape[-1])
     n_tiles = -(-plan.n_out // plan.ot)
     if msgs_dtype == jnp.bfloat16:
-        # bf16 mode: cast the TABLE once (a [N, D] pass), gather raw bf16
-        # rows, and apply the arc weight inside the kernel by scaling the
-        # one-hot column. Rationale (all measured at 10.16M arcs): a bf16
-        # cast epilogue fused into the gather costs 150 ms vs 94 raw, and an
-        # f32 message temp pays TPU's 80→128 lane padding at f32 width —
-        # 3.83 GB live, which OOMs the train step next to the 6 GB B_ii.
-        msgs = jnp.take(table.astype(jnp.bfloat16), plan.gidx, axis=0)
-        w_seg = plan.gw.reshape(-1, 8, plan.ch // 8)
-        out = _seg_reduce_call(
-            plan.tile_map, plan.first, plan.seg, w_seg, msgs,
-            ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
-            weighted=True,
-        )
-        return out[: plan.n_out]
-    msgs = jnp.take(table, plan.gidx, axis=0) * plan.gw[:, None]
-    out = _seg_reduce_call(
-        plan.tile_map, plan.first, plan.seg, None, msgs,
-        ot=plan.ot, ch=plan.ch, d=d, n_tiles=n_tiles, interpret=interpret,
-    )
+        table = table.astype(jnp.bfloat16)
+    out = jnp.zeros((n_tiles * plan.ot, d), jnp.float32)
+    for (lo, hi), p in zip(plan.spans, plan.buckets):
+        sub = jax.lax.slice_in_dim(table, lo, hi)
+        out = _segreduce_one(sub, p, msgs_dtype, interpret, out)
     return out[: plan.n_out]

@@ -178,3 +178,34 @@ def test_hybrid_sums_duplicate_arcs():
         np.asarray(to_items(x, split)),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_bucketed_to_items_matches_segment(small):
+    _, split, _ = small
+    fops_b = build_fast_ops(split, src_buckets=4)
+    x = jax.random.normal(jax.random.key(6), (split.n_users, 16), jnp.float32)
+    ref = to_items(x, split)
+    out = fast_to_items(x, fops_b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # VJP still routes through the ELL to_users (self-transpose pairing).
+    g = jax.random.normal(jax.random.key(7), (split.n_items, 16), jnp.float32)
+    grad = jax.grad(lambda x_: jnp.vdot(fast_to_items(x_, fops_b), g))(x)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(to_users(g, split)), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bucketed_hybrid_bf16_forward_close(small):
+    graph, split, _ = small
+    fops_b = build_fast_ops(
+        split, msgs_dtype="bfloat16", heavy_users=32, heavy_dtype="bfloat16",
+        src_buckets=4,
+    )
+    cfg = LightGCNConfig(num_nodes=graph.num_nodes, embedding_dim=12, num_layers=3)
+    params = init_params(jax.random.key(1), cfg)
+    fb_ref = FastBipartite(split=split, item_op=build_item_operator(split))
+    fb_fast = FastBipartite(split=split, item_op=fb_ref.item_op, fops=fops_b)
+    ref = np.asarray(fast_get_embedding(params, fb_ref, cfg.num_layers))
+    out = np.asarray(fast_get_embedding(params, fb_fast, cfg.num_layers))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 3e-2
