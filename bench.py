@@ -185,7 +185,14 @@ def main():
     )
     jax.block_until_ready(fb.item_op)
     t_bii = time.perf_counter() - t0
-    plan_thread.join()
+    # Bounded join: a tunnel outage can hang the plan build's uploads for
+    # 10-40 min (documented); fall through to the segment-path bench rather
+    # than deadlocking with no output.
+    plan_thread.join(timeout=900)
+    if plan_thread.is_alive():
+        log("plan build still running after 900s (tunnel stall?) — "
+            "continuing with the segment path only")
+        plans.clear()
     t_build = time.perf_counter() - t0  # B_ii ∥ plan builds, wall clock
     log(
         f"one-time build {t_build:.1f}s (B_ii {t_bii:.1f}s, "
@@ -223,9 +230,20 @@ def main():
                 fb = fb_fo
                 edges_per_s = logical_edges / t_fast
             else:
+                # Losing to the plain segment path is a REGRESSION signal
+                # (the hybrid has won every measurement to date) — log it
+                # loudly and drop the FastOps so its HBM (incl. the ~1.8 GB
+                # bf16 heavy head) does not crowd the train-step phase.
+                log(
+                    f"WARNING: {plans['label']} LOST to the segment path "
+                    f"({t_fo*1e3:.1f} vs {t_fast*1e3:.1f} ms) — possible "
+                    "regression in the fast plans"
+                )
                 del fb_fo, fast_fo
+                plans.clear()
         except Exception as e:
             log(f"{plans['label']} unavailable: {type(e).__name__}: {e}")
+            plans.clear()
 
     # --- train step (fast path) ---
     purch = w == 1.0

@@ -34,6 +34,8 @@ def load_edges(args, cfg: FrameworkConfig) -> pd.DataFrame:
             n_items=args.synthetic_items,
             n_events=args.synthetic_events,
             seed=cfg.train.seed,
+            n_clusters=args.synthetic_clusters,
+            n_pairs=args.synthetic_pairs or None,
         )
         return events_to_edges(events, cfg.weights())
     if args.movielens:
@@ -66,6 +68,14 @@ def main(argv=None):
     ap.add_argument("--synthetic-users", type=int, default=2000)
     ap.add_argument("--synthetic-items", type=int, default=300)
     ap.add_argument("--synthetic-events", type=int, default=30000)
+    ap.add_argument(
+        "--synthetic-clusters", type=int, default=0,
+        help="latent co-clusters (learnable structure; 0 = popularity only)",
+    )
+    ap.add_argument(
+        "--synthetic-pairs", type=int, default=0,
+        help="pin the unique (user,item) pair count (0 = independent draws)",
+    )
     ap.add_argument("-e", "--epochs", type=int, help="override config epochs")
     ap.add_argument("--dim", type=int, help="override latent_dim")
     ap.add_argument("--layers", type=int, help="override n_layers")
@@ -81,6 +91,10 @@ def main(argv=None):
     ap.add_argument(
         "--heavy-users", type=int,
         help="dense-heavy-user head size K for the fast path (0=off)",
+    )
+    ap.add_argument(
+        "--checkpoint-every", type=int,
+        help="save LAST checkpoint every N epochs (0 = only at the end)",
     )
     args = ap.parse_args(argv)
 
@@ -101,6 +115,8 @@ def main(argv=None):
         cfg.train.fast_bipartite = args.fast
     if args.heavy_users is not None:
         cfg.train.heavy_users = args.heavy_users
+    if args.checkpoint_every is not None:
+        cfg.train.checkpoint_every = args.checkpoint_every
     cfg.train.mesh_devices = cfg.mesh_devices
     cfg.train.checkpoint_dir = cfg.checkpoint_dir
 

@@ -235,6 +235,13 @@ def segreduce_plan(
     lib = _load()
     if lib is None:
         return None
+    # int32 id domain: wider inputs would WRAP silently through the casts
+    # below (safe at cosmetics scale — ids < 1.7M — but this is a generic
+    # entry point).
+    if len(src):
+        assert int(np.max(src)) < 2**31 and int(np.max(dst_sorted)) < 2**31, (
+            "segreduce_plan ids must fit int32"
+        )
     src = np.ascontiguousarray(src, dtype=np.int32)
     dst_sorted = np.ascontiguousarray(dst_sorted, dtype=np.int32)
     w = np.ascontiguousarray(w, dtype=np.float32)

@@ -151,26 +151,17 @@ def _mm_precision(dtype):
     )
 
 
-def build_fast_ops(
-    split: BipartiteSplit,
-    msgs_dtype: str = "float32",
-    heavy_users: int = 0,
-    heavy_dtype: str = "float32",
-    src_buckets: int = 0,
-) -> FastOps:
-    """``src_buckets > 0`` builds the to_items gather plan bucketed by src
-    user range (``spmm_fast.BucketedSegReducePlan``): the arbitrary-row
-    gather rate cliffs with table size on the target chip (~161M rows/s from
-    ≤262K-row tables vs ~96M from the 1.64M-row user table, scripts/
-    microbench_r3*_results.json), so each bucket gathers from a ≤262K-row
-    static slice at the fast rate. Exact restructure (per-tile summation
-    order becomes bucket-major)."""
-    from .spmm_fast import (
-        build_bucketed_segreduce_plan,
-        build_ell_plan,
-        build_segreduce_plan,
-    )
+def split_heavy_users(
+    split: BipartiteSplit, heavy_users: int, heavy_dtype: str
+) -> tuple:
+    """Extract the dense heavy-user head and return the sparse TAIL arcs.
 
+    Shared by the single-chip (:func:`build_fast_ops`) and sharded
+    (``ops/spmm_sharded.build_sharded_fast_ops``) plan builders. Returns
+    ``(hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w)`` where
+    ``hi_ids``/``w_hi`` are None when no head is built and the arc arrays
+    are the tail (heavy users' arcs removed from BOTH directions).
+    """
     ui_src = np.asarray(split.ui_src_user)
     ui_dst = np.asarray(split.ui_dst_item)
     ui_w = np.asarray(split.ui_w)
@@ -217,6 +208,33 @@ def build_fast_ops(
             deg_tail = np.where(rank < 0, deg_iu, 0)
             iu_indptr = np.append(0, np.cumsum(deg_tail))
             iu_src, iu_w = iu_src[keep_iu], iu_w[keep_iu]
+    return hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w
+
+
+def build_fast_ops(
+    split: BipartiteSplit,
+    msgs_dtype: str = "float32",
+    heavy_users: int = 0,
+    heavy_dtype: str = "float32",
+    src_buckets: int = 0,
+) -> FastOps:
+    """``src_buckets > 0`` builds the to_items gather plan bucketed by src
+    user range (``spmm_fast.BucketedSegReducePlan``): the arbitrary-row
+    gather rate cliffs with table size on the target chip (~161M rows/s from
+    ≤262K-row tables vs ~96M from the 1.64M-row user table, scripts/
+    microbench_r3*_results.json), so each bucket gathers from a ≤262K-row
+    static slice at the fast rate. Exact restructure (per-tile summation
+    order becomes bucket-major)."""
+    from .spmm_fast import (
+        build_bucketed_segreduce_plan,
+        build_ell_plan,
+        build_segreduce_plan,
+    )
+
+    n_users, n_items = split.n_users, split.n_items
+    hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w = (
+        split_heavy_users(split, heavy_users, heavy_dtype)
+    )
 
     if src_buckets > 0:
         items_plan = build_bucketed_segreduce_plan(
@@ -563,11 +581,12 @@ def build_item_operator(
 @dataclasses.dataclass(frozen=True)
 class FastBipartite:
     """Everything the fast forward needs: split arcs + dense 2-hop operator
-    (+ optionally the measured-optimal SpMM plans of :class:`FastOps`)."""
+    (+ optionally the measured-optimal SpMM plans: a :class:`FastOps` on one
+    chip, or an ``ops.spmm_sharded.ShardedFastOps`` on a mesh)."""
 
     split: BipartiteSplit
     item_op: jax.Array  # [I, I] B_ii (f32 or bf16)
-    fops: FastOps | None = None
+    fops: object | None = None
 
     @property
     def n_users(self) -> int:
@@ -579,12 +598,20 @@ class FastBipartite:
 
     def _to_items(self, x_users):
         if self.fops is not None:
-            return fast_to_items(x_users, self.fops)
+            if isinstance(self.fops, FastOps):
+                return fast_to_items(x_users, self.fops)
+            from .spmm_sharded import sharded_to_items
+
+            return sharded_to_items(x_users, self.fops)
         return to_items(x_users, self.split)
 
     def _to_users(self, x_items):
         if self.fops is not None:
-            return fast_to_users(x_items, self.fops)
+            if isinstance(self.fops, FastOps):
+                return fast_to_users(x_items, self.fops)
+            from .spmm_sharded import sharded_to_users
+
+            return sharded_to_users(x_items, self.fops)
         return to_users(x_items, self.split)
 
 
@@ -596,6 +623,7 @@ def build_fast_bipartite(
     heavy_users: int = 0,
     heavy_dtype: str = "float32",
     src_buckets: int = 0,
+    band_bytes: float | None = None,
 ) -> FastBipartite:
     split = split_graph(graph)
     fops = (
@@ -609,8 +637,14 @@ def build_fast_bipartite(
         if fast_ops
         else None
     )
+    if band_bytes is None:
+        # The heavy-user head (w_hi, ~1.8 GB bf16 at cosmetics scale) is
+        # already resident while B_ii accumulates — shrink the f32 band.
+        band_bytes = 1.5e9 if (fast_ops and heavy_users > 0) else 2.5e9
     return FastBipartite(
-        split=split, item_op=build_item_operator(split, dtype=dtype), fops=fops
+        split=split,
+        item_op=build_item_operator(split, dtype=dtype, band_bytes=band_bytes),
+        fops=fops,
     )
 
 

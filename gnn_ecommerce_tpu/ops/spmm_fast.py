@@ -265,7 +265,7 @@ def build_segreduce_plan(
     ),
 )
 def _seg_reduce_call(
-    tile_map, first, seg, w_seg, msgs, prev=None, msg_map=None, live=None,
+    tile_map, first, seg, w_seg, msgs, prev=None,
     *, ot, ch, d, n_tiles, interpret, weighted=False, fast_f32=False,
 ):
     """``weighted=False``: msgs already carry the arc weight (one-hot is 0/1).
@@ -278,14 +278,11 @@ def _seg_reduce_call(
     zero-initializing each tile — every output tile must then be visited by
     at least one chunk (the plan builders guarantee ≥1 chunk per tile), since
     unvisited out blocks are never written. Used to chain per-src-bucket
-    calls (see :func:`gather_segreduce_bucketed`).
-
-    ``msg_map``/``live`` (optional [n_chunks] int32, given together): explicit
-    msgs-block index per chunk and a dead-chunk flag. Bucketed plans pad all
-    buckets to ONE chunk count so every per-bucket pallas_call lowers to the
-    SAME Mosaic program (one remote kernel compile instead of n_buckets);
-    dead pad chunks repeat the last real block index (no DMA refetch — the
-    block index is unchanged) and skip the one-hot/dot entirely.
+    calls (see :func:`gather_segreduce_bucketed`); bucketed plans are padded
+    to ONE shared (n_chunks, E_pad) shape by their builder, so every
+    per-bucket call lowers to the SAME Mosaic program (one remote kernel
+    compile instead of n_buckets — pad chunks carry zero weights and cost
+    one no-op chunk pass each).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -294,13 +291,9 @@ def _seg_reduce_call(
     msgs_dtype = msgs.dtype
     n_chunks = seg.shape[0]
     accum = prev is not None
-    mapped = msg_map is not None
-    n_prefetch = 4 if mapped else 2
 
     def kernel(tile_map_ref, first_ref, *rest):
         rest = list(rest)
-        msg_map_ref = rest.pop(0) if mapped else None
-        live_ref = rest.pop(0) if mapped else None
         seg_ref = rest.pop(0)
         w_ref = rest.pop(0) if weighted else None
         prev_ref = rest.pop(0) if accum else None
@@ -327,42 +320,27 @@ def _seg_reduce_call(
         # chunk measured ~2x slower than their input-DMA floor.
         oh_dtype = msgs_dtype
 
-        def accumulate():
-            pieces = []
-            for r in range(8):
-                hit = rows == seg_ref[0, r, :][None, :]
-                if weighted:
-                    pieces.append(
-                        jnp.where(hit, w_ref[0, r, :][None, :], 0.0).astype(oh_dtype)
-                    )
-                else:
-                    pieces.append(hit.astype(oh_dtype))
-            oh = jnp.concatenate(pieces, axis=1)  # [ot, CH]
-            out_ref[:] += jnp.dot(
-                oh,
-                msgs_ref[:, :],
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+        pieces = []
+        for r in range(8):
+            hit = rows == seg_ref[0, r, :][None, :]
+            if weighted:
+                pieces.append(
+                    jnp.where(hit, w_ref[0, r, :][None, :], 0.0).astype(oh_dtype)
+                )
+            else:
+                pieces.append(hit.astype(oh_dtype))
+        oh = jnp.concatenate(pieces, axis=1)  # [ot, CH]
+        out_ref[:] += jnp.dot(
+            oh,
+            msgs_ref[:, :],
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
 
-        if mapped:
-            pl.when(live_ref[c] == 1)(accumulate)
-        else:
-            accumulate()
-
-    if mapped:
-        # Dead pad chunks repeat the previous chunk's block indices, so the
-        # pipeline skips their DMAs; tile_map keeps the out block unchanged.
-        n_chunks = int(tile_map.shape[0])
-        seg_spec = pl.BlockSpec((1, 8, c8), lambda c, tm, fr, mm, lv: (mm[c], 0, 0))
-        out_like_spec = pl.BlockSpec((ot, d), lambda c, tm, fr, mm, lv: (tm[c], 0))
-        msgs_spec = pl.BlockSpec((ch, d), lambda c, tm, fr, mm, lv: (mm[c], 0))
-        prefetch = (tile_map, first, msg_map, live)
-    else:
-        seg_spec = pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0))
-        out_like_spec = pl.BlockSpec((ot, d), lambda c, tm, fr: (tm[c], 0))
-        msgs_spec = pl.BlockSpec((ch, d), lambda c, tm, fr: (c, 0))
-        prefetch = (tile_map, first)
+    seg_spec = pl.BlockSpec((1, 8, c8), lambda c, tm, fr: (c, 0, 0))
+    out_like_spec = pl.BlockSpec((ot, d), lambda c, tm, fr: (tm[c], 0))
+    msgs_spec = pl.BlockSpec((ch, d), lambda c, tm, fr: (c, 0))
+    prefetch = (tile_map, first)
     in_specs = (
         [seg_spec]
         + ([seg_spec] if weighted else [])
@@ -370,7 +348,7 @@ def _seg_reduce_call(
         + [msgs_spec]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_prefetch,
+        num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=in_specs,
         out_specs=out_like_spec,
@@ -495,8 +473,38 @@ def build_bucketed_segreduce_plan(
             )
         )
         spans.append((lo, hi))
+    # Pad every bucket to the max chunk count so all per-bucket pallas_calls
+    # share ONE (n_chunks, E_pad) shape — a single Mosaic program (remote
+    # kernel compiles cost minutes each here) instead of one per bucket. Pad
+    # chunks carry zero weights / zero messages aimed at the last tile with
+    # first=0, so they accumulate nothing.
+    n_max = max(int(p.tile_map.shape[0]) for p in plans)
+    n_tiles = -(-n_out // ot)
+    plans = [_pad_plan_chunks(p, n_max, n_tiles) for p in plans]
     return BucketedSegReducePlan(
         buckets=tuple(plans), spans=tuple(spans), n_out=int(n_out), ot=int(ot)
+    )
+
+
+def _pad_plan_chunks(p: SegReducePlan, n_chunks: int, n_tiles: int) -> SegReducePlan:
+    have = int(p.tile_map.shape[0])
+    extra = n_chunks - have
+    if extra == 0:
+        return p
+    ch = p.ch
+    return SegReducePlan(
+        gidx=jnp.concatenate([p.gidx, jnp.zeros((extra * ch,), p.gidx.dtype)]),
+        gw=jnp.concatenate([p.gw, jnp.zeros((extra * ch,), p.gw.dtype)]),
+        seg=jnp.concatenate(
+            [p.seg, jnp.zeros((extra, 8, ch // 8), p.seg.dtype)]
+        ),
+        tile_map=jnp.concatenate(
+            [p.tile_map, jnp.full((extra,), n_tiles - 1, p.tile_map.dtype)]
+        ),
+        first=jnp.concatenate([p.first, jnp.zeros((extra,), p.first.dtype)]),
+        n_out=p.n_out,
+        ot=p.ot,
+        ch=p.ch,
     )
 
 

@@ -17,6 +17,7 @@ behind the same call signature.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Callable
 
@@ -55,7 +56,14 @@ def shard_graph(graph: BipartiteGraph, mesh: Mesh) -> BipartiteGraph:
     )
 
 
-def shard_fast_bipartite(fb: FastBipartite, mesh: Mesh) -> FastBipartite:
+def shard_fast_bipartite(
+    fb: FastBipartite,
+    mesh: Mesh,
+    fast_ops: bool = False,
+    msgs_dtype: str = "float32",
+    heavy_users: int = 0,
+    heavy_dtype: str = "float32",
+) -> FastBipartite:
     """Place the fast-bipartite structures on the mesh.
 
     - ``item_op`` (B_ii, the memory-dominant 6 GB-at-scale operator): ROW-
@@ -64,7 +72,13 @@ def shard_fast_bipartite(fb: FastBipartite, mesh: Mesh) -> FastBipartite:
       against the replicated [I, D] activations);
     - arc arrays: sharded over ``data`` (contiguous destination ranges, as
       in :func:`shard_graph`), partial segment-sums reduced by GSPMD;
-    - per-user CSR offsets: replicated (4 bytes/user).
+    - per-user CSR offsets: replicated (4 bytes/user);
+    - ``fast_ops``: attach the measured-optimal SpMM plans, partitioned over
+      the whole mesh (``ops/spmm_sharded.build_sharded_fast_ops`` — per-
+      device Pallas segment-reduce slabs under shard_map + GSPMD dense
+      heavy-user head). This is what keeps the mesh step on the ~220 ms-
+      class fast path instead of regressing to the segment path (round-2
+      VERDICT item 3).
     """
     arc = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
@@ -103,7 +117,37 @@ def shard_fast_bipartite(fb: FastBipartite, mesh: Mesh) -> FastBipartite:
         item_op = jnp.concatenate(
             [item_op, jnp.zeros((rpad, item_op.shape[1]), item_op.dtype)]
         )
-    return FastBipartite(split=split, item_op=jax.device_put(item_op, row))
+    fops = None
+    if fast_ops:
+        from ..ops.spmm_sharded import build_sharded_fast_ops
+
+        fops = build_sharded_fast_ops(
+            fb.split,  # unpadded arc arrays — the plan builder repartitions
+            mesh,
+            msgs_dtype=msgs_dtype,
+            heavy_users=heavy_users,
+            heavy_dtype=heavy_dtype,
+        )
+        # Plan slabs + heavy head placed per their shard_map/GSPMD specs.
+        dev_axis = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        fops = dataclasses.replace(
+            fops,
+            items_stack=jax.tree.map(
+                lambda x: jax.device_put(x, dev_axis), fops.items_stack
+            ),
+            users_stack=jax.tree.map(
+                lambda x: jax.device_put(x, dev_axis), fops.users_stack
+            ),
+            hi_ids=None
+            if fops.hi_ids is None
+            else jax.device_put(fops.hi_ids, rep),
+            w_hi=None
+            if fops.w_hi is None
+            else jax.device_put(fops.w_hi, row),
+        )
+    return FastBipartite(
+        split=split, item_op=jax.device_put(item_op, row), fops=fops
+    )
 
 
 def make_sharded_fast_train_step(

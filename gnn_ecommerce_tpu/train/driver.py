@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from ..data.prepare import PreparedData
-from ..eval.evaluate import build_eval_batch, evaluate
+from ..eval.evaluate import build_eval_buckets, evaluate_bucketed
 from ..graph.build import build_graph
 from ..models.lightgcn import LightGCNConfig, get_embedding, init_params
 from ..ops.propagate import propagate_segment
@@ -81,6 +81,15 @@ class TrainConfig:
     # [n_items, K] MXU matmul per SpMM direction. 0 = off. Only used when
     # fast_bipartite != "off" on a single device.
     heavy_users: int = 0
+    # Save the LAST checkpoint every N epochs (always after the final epoch).
+    # 0 = only at the end. At cosmetics scale a checkpoint is ~1.6 GB of
+    # device->host readback; per-epoch saves through a slow link can dominate
+    # wall-clock. The BEST params are tracked in an HBM copy regardless, so
+    # best-model selection is exact even with throttled disk saves (the best
+    # checkpoint's optimizer state is then the one from the epoch it is
+    # written, which matches the reference's never-restored best opt state,
+    # src/utils_v2.py:222-230).
+    checkpoint_every: int = 1
 
     def hyperparams(self) -> dict:
         # Reference key-name parity for checkpoint metadata
@@ -128,8 +137,11 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     )
     num_edges, num_arcs = graph.num_edges, graph.num_arcs
     sdata = make_sampler_data(prepared.sampler, prepared.n_users, prepared.n_items)
-    val_batch = build_eval_batch(prepared.val)
-    test_batch = build_eval_batch(prepared.test)
+    # Mask-width-bucketed eval batches: a single globally-padded batch costs
+    # O(users x max_degree) HBM (GBs at cosmetics scale); buckets bound the
+    # padding and compile one shape per pow2 width.
+    val_buckets = build_eval_buckets(prepared.val)
+    test_buckets = build_eval_buckets(prepared.test)
 
     cfg = LightGCNConfig(
         num_nodes=graph.num_nodes,
@@ -182,14 +194,26 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
                     if config.fast_bipartite == "bf16"
                     else jnp.float32,
                 )
-                graph = shard_fast_bipartite(fb, mesh)
+                mode = (
+                    "bfloat16" if config.fast_bipartite == "bf16" else "float32"
+                )
+                graph = shard_fast_bipartite(
+                    fb,
+                    mesh,
+                    fast_ops=True,
+                    msgs_dtype=mode,
+                    heavy_users=config.heavy_users,
+                    heavy_dtype=mode,
+                )
                 log(
                     {
                         "msg": (
                             f"fast bipartite operator built+sharded in "
                             f"{time.perf_counter() - t0:.1f}s "
                             f"({graph.item_op.nbytes / 1e9:.2f} GB over "
-                            f"{mesh.shape['model']} model shards)"
+                            f"{mesh.shape['model']} model shards; sharded "
+                            f"SpMM plans over {mesh.size} devices, "
+                            f"heavy_users={config.heavy_users})"
                         )
                     }
                 )
@@ -290,6 +314,8 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     best_recall = 0.0
     best_epoch = -1
     best_precision = 0.0
+    best_params = None  # HBM copy of the best epoch's params (exact best
+    # selection even when disk checkpointing is throttled)
     for epoch in range(start_epoch, config.epochs):
         profiling = config.profile_dir and epoch == min(
             config.profile_epoch, config.epochs - 1
@@ -307,9 +333,11 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             log({"msg": f"profiler trace (epoch {epoch}) -> {config.profile_dir}"})
 
         final_emb = compute_embedding(params)
-        precision, recall, _, _, _ = evaluate(
-            final_emb, val_batch, prepared.n_users, config.k, mask_mode=config.mask_mode
+        precision, recall = evaluate_bucketed(
+            final_emb, val_buckets, prepared.n_users, config.k,
+            mask_mode=config.mask_mode,
         )
+        del final_emb
         t_total = time.perf_counter() - t0
         rec = {
             "epoch": epoch,
@@ -321,7 +349,11 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             "dropped_arcs": float(metrics.get("dropped_arcs", 0.0)),
             "train_s": t_train,
             "epoch_s": t_total,
-            "edges_per_s": num_arcs
+            # Reference-equivalent work rate, NOT measured sparse ops: the
+            # fast paths do algebraically less sparse work for the same
+            # result; this counts the arcs x layers x 3 the reference's
+            # layered fwd+bwd would process in the same wall-clock.
+            "ref_equiv_edges_per_s": num_arcs
             * cfg.num_layers
             * n_batch
             * 3  # fwd + 2x in bwd (grad wrt messages and embeddings)
@@ -340,27 +372,44 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             }
         )
 
-        save_checkpoint(
-            config.checkpoint_dir, params, opt_state,
-            epoch=epoch, precision=precision, recall=recall,
-            hyperparams=config.hyperparams(), name=LAST_NAME,
+        last_due = config.checkpoint_every > 0 and (
+            (epoch + 1) % config.checkpoint_every == 0
         )
-        if recall > best_recall:
-            best_recall, best_precision, best_epoch = recall, precision, epoch
+        if last_due or epoch == config.epochs - 1:
             save_checkpoint(
                 config.checkpoint_dir, params, opt_state,
                 epoch=epoch, precision=precision, recall=recall,
+                hyperparams=config.hyperparams(), name=LAST_NAME,
+            )
+        if recall > best_recall:
+            best_recall, best_precision, best_epoch = recall, precision, epoch
+            import jax.numpy as jnp
+
+            best_params = jax.tree.map(jnp.copy, params)
+            if config.checkpoint_every == 1:
+                save_checkpoint(
+                    config.checkpoint_dir, params, opt_state,
+                    epoch=epoch, precision=precision, recall=recall,
+                    hyperparams=config.hyperparams(), name=BEST_NAME,
+                )
+
+    # Final test eval on the BEST params (fixes the reference bug that
+    # evaluates the last-epoch model, src/train_lightgcn.py:73).
+    if best_params is not None:
+        params = best_params
+        if config.checkpoint_every != 1:  # deferred best save
+            save_checkpoint(
+                config.checkpoint_dir, params, opt_state,
+                epoch=best_epoch, precision=best_precision, recall=best_recall,
                 hyperparams=config.hyperparams(), name=BEST_NAME,
             )
-
-    # Final test eval on the BEST checkpoint (fixes the reference bug that
-    # evaluates the last-epoch model, src/train_lightgcn.py:73).
-    if best_epoch >= 0:
+    elif best_epoch >= 0:
         leaves, _ = load_checkpoint(config.checkpoint_dir, BEST_NAME)
         params, opt_state = restore_into(params, opt_state, leaves)
     final_emb = compute_embedding(params)
-    test_precision, test_recall, _, _, _ = evaluate(
-        final_emb, test_batch, prepared.n_users, config.k, mask_mode=config.mask_mode
+    test_precision, test_recall = evaluate_bucketed(
+        final_emb, test_buckets, prepared.n_users, config.k,
+        mask_mode=config.mask_mode,
     )
     log(
         {

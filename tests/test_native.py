@@ -101,7 +101,9 @@ def test_events_pipeline_native_equals_pandas_oracle(rng):
     got = raw_edge_weight(events, EVENT_TYPE_WEIGHTS_V1)
     view = EVENT_TYPE_WEIGHTS_V1["view"]
     df = events[["user_id", "item_id"]].copy()
-    df["weight"] = events["event_type"].map(EVENT_TYPE_WEIGHTS_V1)
+    # astype(float): event_type is categorical, and .map on a categorical
+    # yields a categorical that pandas refuses to groupby-sum.
+    df["weight"] = events["event_type"].map(EVENT_TYPE_WEIGHTS_V1).astype(float)
     df["purchased"] = events["event_type"].eq("purchase")
     oracle = (
         df.groupby(["user_id", "item_id"], sort=True)

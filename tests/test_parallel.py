@@ -155,3 +155,110 @@ def test_sharded_fast_step_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(p1["embedding"]), np.asarray(p8["embedding"]), rtol=1e-4, atol=1e-6
     )
+
+
+def test_sharded_fast_ops_match_segment_oracle():
+    """ops/spmm_sharded: the mesh-partitioned plan pair must reproduce the
+    plain segment-sum SpMMs (f32 exact mode) and transpose correctly."""
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from gnn_ecommerce_tpu.ops.bipartite import split_graph, to_items, to_users
+    from gnn_ecommerce_tpu.ops.spmm_sharded import (
+        build_sharded_fast_ops, sharded_to_items, sharded_to_users,
+    )
+    from gnn_ecommerce_tpu.parallel import make_mesh
+
+    graph, cfg, params, rng = g._tiny_setup(n_edges=3000, seed=13)
+    split = split_graph(graph)
+    mesh = make_mesh(8)
+    sfo = build_sharded_fast_ops(
+        split, mesh, msgs_dtype="float32", heavy_users=16, ot=8, ch=16
+    )
+    x_u = jnp.asarray(
+        rng.standard_normal((graph.n_users, 8)).astype(np.float32)
+    )
+    x_i = jnp.asarray(
+        rng.standard_normal((graph.n_items, 8)).astype(np.float32)
+    )
+    with mesh:
+        got_i = sharded_to_items(x_u, sfo)
+        got_u = sharded_to_users(x_i, sfo)
+    np.testing.assert_allclose(
+        np.asarray(got_i), np.asarray(to_items(x_u, split)), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_u), np.asarray(to_users(x_i, split)), rtol=1e-4, atol=1e-5
+    )
+    # Transpose pair: vjp of to_items is to_users on the cotangent.
+    with mesh:
+        _, vjp = jax.vjp(lambda x: sharded_to_items(x, sfo), x_u)
+        (gx,) = vjp(jnp.asarray(np.asarray(got_i)))
+    oracle = to_users(jnp.asarray(np.asarray(got_i)), split)
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(oracle), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_fast_step_with_plans_matches_unsharded():
+    """Mesh step with sharded SpMM plans + heavy head == single-device
+    FastOps step (round-2 VERDICT item 3: the best-measured config must
+    survive sharding)."""
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from gnn_ecommerce_tpu.sampling import make_sampler_data
+    from gnn_ecommerce_tpu.data.prepare import SamplerArrays
+    from gnn_ecommerce_tpu.train import make_train_fns
+    from gnn_ecommerce_tpu.ops.bipartite import (
+        build_fast_bipartite, fast_batch_embeddings,
+    )
+    from gnn_ecommerce_tpu.parallel import (
+        make_mesh, make_sharded_fast_train_step, shard_fast_bipartite,
+        shard_params,
+    )
+
+    graph, cfg, params, rng = g._tiny_setup(n_edges=3000, seed=17)
+    fb = build_fast_bipartite(
+        graph, dtype=jnp.float32, fast_ops=True, heavy_users=16
+    )
+    src, dst = np.asarray(graph.src), np.asarray(graph.dst)
+    m = dst < graph.n_users
+    users, first = np.unique(dst[m], return_index=True)
+    pos = src[m][first]
+    arrays = SamplerArrays(
+        users=users.astype(np.int64),
+        pos_indptr=np.arange(len(users) + 1),
+        pos_flat=pos.astype(np.int64),
+        ign_indptr=np.arange(len(users) + 1),
+        ign_flat=pos.astype(np.int64),
+    )
+    sdata = make_sampler_data(arrays, graph.n_users, graph.n_items)
+    optimizer = optax.adam(1e-2)
+    key = jax.random.key(5)
+    copy = lambda tree: jax.tree.map(lambda x: x.copy(), tree)
+
+    step1, _ = make_train_fns(
+        cfg, optimizer, batch_size=64, decay=1e-4,
+        batch_embed_fn=lambda p, fb_, u, po, ne: fast_batch_embeddings(
+            p, fb_, cfg.num_layers, u, po, ne, edge_cap=4096
+        ),
+    )
+    p1, _, m1 = step1(copy(params), optimizer.init(params), fb, sdata, key)
+
+    mesh = make_mesh(8)
+    with mesh:
+        sp = shard_params(copy(params), mesh)
+        so = optimizer.init(sp)
+        sfb = shard_fast_bipartite(
+            fb, mesh, fast_ops=True, msgs_dtype="float32", heavy_users=16
+        )
+        assert sfb.fops is not None
+        step8 = make_sharded_fast_train_step(
+            cfg, optimizer, mesh, batch_size=64, decay=1e-4, edge_cap=4096
+        )
+        p8, _, m8 = step8(sp, so, sfb, sdata, key)
+
+    assert float(m8["dropped_arcs"]) == 0.0
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p1["embedding"]), np.asarray(p8["embedding"]), rtol=1e-3, atol=1e-5
+    )
