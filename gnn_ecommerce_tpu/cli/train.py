@@ -85,6 +85,11 @@ def main(argv=None):
         "--mesh", type=int, help="devices to mesh (1=single, 0=all visible)"
     )
     ap.add_argument(
+        "--partition", choices=["gspmd", "edge"],
+        help="multi-device strategy: GSPMD annotated shardings, or explicit "
+        "edge partitioning (shard_map + all_to_all boundary exchange)",
+    )
+    ap.add_argument(
         "--fast", choices=["off", "f32", "bf16"],
         help="bipartite-factorized propagation (single device)",
     )
@@ -111,6 +116,8 @@ def main(argv=None):
         cfg.train.resume = True
     if args.mesh is not None:
         cfg.mesh_devices = args.mesh
+    if args.partition:
+        cfg.train.partition = args.partition
     if args.fast:
         cfg.train.fast_bipartite = args.fast
     if args.heavy_users is not None:

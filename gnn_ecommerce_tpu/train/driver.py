@@ -64,6 +64,13 @@ class TrainConfig:
     # visible devices, N > 1 = a (data x model) mesh with the GSPMD sharded
     # step (embedding table row-sharded, batches data-sharded).
     mesh_devices: int = 1
+    # Multi-device strategy when mesh_devices > 1: "gspmd" (annotated
+    # shardings, GSPMD-inserted collectives) or "edge" (explicit edge
+    # partitioning: shard_map + all_to_all boundary-row exchange overlapped
+    # with the local SpMM, parallel/edge_partition.py). Checkpoints are
+    # saved with UNPADDED tables either way, so infer/serve/resume interop
+    # across strategies.
+    partition: str = "gspmd"
     # Bipartite-factorized propagation (ops/bipartite.py): one-time dense
     # item-item operator build, then 2 SpMMs per forward instead of 2L —
     # ~5.6x faster forward at cosmetics scale on one v5e chip. "off",
@@ -165,9 +172,79 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     train_size = len(prepared.edge_user)
     n_batch = config.batches_per_epoch or max(1, train_size // (config.batch_size * 40))
 
+    # Identity by default; the edge-partition branch swaps in a view that
+    # strips row padding so checkpoints stay strategy-portable.
+    ckpt_view = lambda tree: tree
+
     mesh = None
     n_mesh = config.mesh_devices if config.mesh_devices != 0 else len(jax.devices())
-    if n_mesh > 1:
+    if n_mesh > 1 and config.partition == "edge":
+        import jax.numpy as jnp
+
+        from ..parallel import (
+            build_edge_partition,
+            make_explicit_fns,
+            make_mesh,
+            pad_params,
+        )
+
+        mesh = make_mesh(n_mesh, axis_sizes=(n_mesh,), axis_names=("model",))
+        part = build_edge_partition(graph, n_mesh)
+        if config.fast_bipartite != "off":
+            log({"msg": "partition=edge uses the explicit layered path; "
+                        "fast_bipartite ignored"})
+        with mesh:
+            params = pad_params(params, part, mesh)
+            if start_epoch == 0:
+                opt_state = optimizer.init(params)
+            else:
+                # Resumed opt-state leaves are unpadded (checkpoints strip
+                # the row padding); re-pad node-row leaves to S·R.
+                pad = part.padded_nodes - graph.num_nodes
+
+                def _pad_leaf(x):
+                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == graph.num_nodes:
+                        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+                    return x
+
+                opt_state = jax.tree.map(_pad_leaf, opt_state)
+            embed_part, estep = make_explicit_fns(
+                cfg, optimizer, mesh, part, config.batch_size, config.decay
+            )
+        log(
+            {
+                "msg": (
+                    f"edge partition: {n_mesh} shards x "
+                    f"{part.rows_per_shard} rows, max boundary send "
+                    f"{part.max_send} rows/peer"
+                )
+            }
+        )
+
+        def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
+            with mesh:
+                acc = None
+                for b in range(n_steps):
+                    params, opt_state, m = estep(
+                        params, opt_state, part, sdata_, jax.random.fold_in(key_, b)
+                    )
+                    acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+                metrics = {k: v / n_steps for k, v in acc.items()}
+            return params, opt_state, metrics
+
+        def compute_embedding(p):
+            with mesh:
+                return embed_part(p, part)[: graph.num_nodes]
+
+        def ckpt_view(tree):
+            return jax.tree.map(
+                lambda x: x[: graph.num_nodes]
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == part.padded_nodes
+                else x,
+                tree,
+            )
+
+    elif n_mesh > 1:
         from ..parallel import (
             make_mesh,
             make_sharded_fast_train_step,
@@ -297,7 +374,9 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             config.decay,
             sample_replace=config.sample_replace,
         )
-    if config.fast_bipartite == "off":
+    if config.fast_bipartite == "off" and not (
+        n_mesh > 1 and config.partition == "edge"
+    ):
         compute_embedding = lambda p: get_embedding(p, graph, cfg)
 
     log(
@@ -377,7 +456,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
         )
         if last_due or epoch == config.epochs - 1:
             save_checkpoint(
-                config.checkpoint_dir, params, opt_state,
+                config.checkpoint_dir, ckpt_view(params), ckpt_view(opt_state),
                 epoch=epoch, precision=precision, recall=recall,
                 hyperparams=config.hyperparams(), name=LAST_NAME,
             )
@@ -388,7 +467,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             best_params = jax.tree.map(jnp.copy, params)
             if config.checkpoint_every == 1:
                 save_checkpoint(
-                    config.checkpoint_dir, params, opt_state,
+                    config.checkpoint_dir, ckpt_view(params), ckpt_view(opt_state),
                     epoch=epoch, precision=precision, recall=recall,
                     hyperparams=config.hyperparams(), name=BEST_NAME,
                 )
@@ -399,7 +478,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
         params = best_params
         if config.checkpoint_every != 1:  # deferred best save
             save_checkpoint(
-                config.checkpoint_dir, params, opt_state,
+                config.checkpoint_dir, ckpt_view(params), ckpt_view(opt_state),
                 epoch=best_epoch, precision=best_precision, recall=best_recall,
                 hyperparams=config.hyperparams(), name=BEST_NAME,
             )

@@ -131,3 +131,56 @@ def test_mesh_fast_bipartite_training(tmp_path):
         np.asarray(r8.params["embedding"]), np.asarray(r1.params["embedding"]),
         rtol=2e-3, atol=2e-5,
     )
+
+
+def test_edge_partition_train_to_checkpoint(tmp_path):
+    """User-invocable edge-partitioned training (VERDICT r2 item 3): e2e
+    train on the 8-virtual-device mesh -> unpadded checkpoint -> resume
+    continues -> checkpoint loads on the single-device path (interop)."""
+    import jax
+
+    prep = make_prepared(seed=6)
+    base = dict(
+        latent_dim=8, n_layers=2, batch_size=128, batches_per_epoch=4,
+        checkpoint_dir=str(tmp_path), lr=0.02, mesh_devices=8,
+        partition="edge",
+    )
+    r1 = train(prep, TrainConfig(epochs=2, **base), verbose=False)
+    assert np.isfinite(r1.history[-1]["loss"])
+
+    # Checkpoints carry UNPADDED tables (strategy portability).
+    import json
+
+    import numpy as np_
+    data = np_.load(tmp_path / "LightGCN_best" / "checkpoint.npz")
+    n_nodes = prep.n_users + prep.n_items
+    assert data["leaf_0"].shape[0] == n_nodes
+
+    # Resume continues from epoch 2 under the same partitioning.
+    r2 = train(prep, TrainConfig(epochs=4, resume=True, **base), verbose=False)
+    assert [h["epoch"] for h in r2.history] == [2, 3]
+
+    # Interop: the edge-partition checkpoint restores on the single-device
+    # path and evaluates to the same recall as the mesh run reported.
+    from gnn_ecommerce_tpu.eval import build_eval_batch, evaluate
+    from gnn_ecommerce_tpu.graph import build_graph
+    from gnn_ecommerce_tpu.models import LightGCNConfig, get_embedding, init_params
+    from gnn_ecommerce_tpu.train.checkpoint import (
+        BEST_NAME, load_checkpoint, restore_into,
+    )
+    import optax
+
+    leaves, meta = load_checkpoint(str(tmp_path), BEST_NAME)
+    cfg = LightGCNConfig(num_nodes=n_nodes, embedding_dim=8, num_layers=2)
+    params = init_params(jax.random.key(0), cfg)
+    optimizer = optax.adam(0.02)
+    params, _ = restore_into(params, optimizer.init(params), leaves)
+    graph = build_graph(
+        prep.edge_user, prep.edge_item_node, prep.edge_weight,
+        prep.n_users, prep.n_items, items_offset=True,
+    )
+    emb = get_embedding(params, graph, cfg)
+    batch = build_eval_batch(prep.val)
+    precision, recall, _, _, _ = evaluate(emb, batch, prep.n_users, 20)
+    best = max(r1.history + r2.history, key=lambda h: h["val_recall"])
+    assert recall == pytest.approx(best["val_recall"], rel=1e-3)
