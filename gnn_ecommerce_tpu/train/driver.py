@@ -348,6 +348,10 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
                 )
             }
         )
+        # The unified arc arrays are fully superseded by fb.split on this
+        # path; drop them (~0.3 GB HBM at cosmetics scale — the step's peak
+        # residency already flirts with the 16 GB chip).
+        graph = None
         from ..ops.bipartite import fast_batch_embeddings
 
         fast_embed_fn = lambda p, fb_: fast_get_embedding(p, fb_, cfg.num_layers)
