@@ -99,7 +99,9 @@ def main(argv=None):
         embedding_dim=int(hp.get("latent_dim", 64)),
         num_layers=int(hp.get("n_layers", 3)),
     )
-    params = {"embedding": jax.numpy.asarray(leaves[0])}
+    from ..train.checkpoint import find_leaf
+
+    params = {"embedding": jax.numpy.asarray(find_leaf(leaves, meta, "embedding"))}
     graph = build_graph(
         prepared.edge_user,
         prepared.edge_item_node,

@@ -648,24 +648,6 @@ def build_fast_bipartite(
     )
 
 
-def make_pallas_to_users(split: BipartiteSplit, table_dtype=jnp.bfloat16, **kwargs):
-    """Pallas-kernel to_users with the exact symmetric backward: forward is
-    the VMEM-resident one-hot-matmul kernel (``ops/pallas_spmm.py``), the
-    cotangent flows through ``to_items`` ((Â_ui)ᵀ = Â_iu). ``table_dtype``
-    is the VMEM item-table precision (bf16 halves residency; f32 for
-    allclose parity)."""
-    from .pallas_spmm import from_split
-
-    op = from_split(split, **kwargs)
-
-    @jax.custom_vjp
-    def f(x_items):
-        return op(x_items, dtype=table_dtype)
-
-    f.defvjp(lambda x: (f(x), None), lambda _, g: (to_items(g, split),))
-    return f
-
-
 def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
     """Shared core of the fast paths: the item-side layer chain.
 
@@ -720,7 +702,7 @@ def fast_get_embedding(
     Exact restructure of reference ``get_embedding`` (``src/lightgcn.py:
     91-99``); see module docstring for the algebra. Returns the unified
     [n_users + n_items, D] final embedding. ``to_users_fn`` (e.g. from
-    :func:`make_pallas_to_users`) overrides the XLA segment-sum to_users.
+    a custom kernel) overrides the XLA segment-sum to_users.
     """
     if alpha is None:
         alpha = jnp.full((num_layers + 1,), 1.0 / (num_layers + 1), jnp.float32)

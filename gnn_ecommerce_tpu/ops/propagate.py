@@ -11,8 +11,14 @@ This module exposes a stable interface with swappable implementations:
 - ``propagate_segment``: gather + ``jax.ops.segment_sum``. XLA lowers this to
   dynamic-gather / scatter-add; it is the correctness oracle (float32
   accumulation) and runs on CPU and TPU.
-- a Pallas ELL kernel (``gnn_ecommerce_tpu.ops.pallas_spmm``) is swapped in
-  behind the same interface for benchmarked configurations.
+- the measured-optimal production pair lives in ``ops/spmm_fast.py``
+  (degree-binned ELL + gather + Pallas one-hot-MXU segment reduce) and is
+  swapped in behind the same interface for benchmarked configurations.
+  (A VMEM-resident to_users Pallas SpMM was prototyped and DELETED in
+  round 3: Mosaic cannot vector-gather from a VMEM table, and the only
+  compilable reformulation — one-hot-matmul gather over all 54.6K items —
+  costs |E|·I·D ≈ 44 TFLOP per pass, ~6x slower than the 69 ms ELL path
+  even at the chip's peak; see docs/PERFORMANCE.md.)
 
 The edge arrays are sorted by destination (see ``graph/build.py``) so
 ``indices_are_sorted=True`` lets XLA use a contiguous segment reduction.
@@ -97,8 +103,8 @@ def propagate_segment_chunked(
     return out.astype(x.dtype)
 
 
-# Implementation registry: name -> fn(graph, x) -> x'. The Pallas kernel
-# registers itself here on import (see ops/pallas_spmm.py).
+# Implementation registry: name -> fn(graph, x) -> x' (alternate kernels
+# register here via register_impl).
 _IMPLEMENTATIONS = {
     "segment": propagate_segment,
     "segment_chunked": propagate_segment_chunked,

@@ -98,12 +98,14 @@ class RecommenderService:
             embedding_dim=int(hp.get("latent_dim", 64)),
             num_layers=int(hp.get("n_layers", 3)),
         )
-        params = init_params(jax.random.key(0), cfg)
-        # Checkpoint leaves are (params, opt_state); params' embedding is the
-        # first leaf (single-table model).
-        params = {"embedding": jnp.asarray(leaves[0])}
+        # Locate the embedding by NAME through the keyed leaf manifest
+        # (meta['leaf_paths']); positional fallback for old checkpoints.
+        from ..train.checkpoint import find_leaf
+
+        emb = find_leaf(leaves, meta, "embedding")
+        params = {"embedding": jnp.asarray(emb)}
         assert params["embedding"].shape == (cfg.num_nodes, cfg.embedding_dim), (
-            f"checkpoint embedding {leaves[0].shape} != config "
+            f"checkpoint embedding {emb.shape} != config "
             f"{(cfg.num_nodes, cfg.embedding_dim)}"
         )
         svc = cls(prepared, params, cfg, k=k, mask_mode=mask_mode, quantized=quantized)
@@ -122,7 +124,9 @@ class RecommenderService:
             )
         leaves, meta = load_checkpoint(*source)
         self.checkpoint_meta = meta
-        return self.refresh({"embedding": jnp.asarray(leaves[0])})
+        from ..train.checkpoint import find_leaf
+
+        return self.refresh({"embedding": jnp.asarray(find_leaf(leaves, meta, "embedding"))})
 
     def refresh(self, params: dict) -> float:
         """(Re)propagate and swap the cached final embeddings; returns secs."""

@@ -38,7 +38,8 @@ def save_checkpoint(
 ) -> str:
     path = os.path.join(directory, name)
     os.makedirs(path, exist_ok=True)
-    leaves = jax.tree_util.tree_leaves((params, opt_state))
+    with_paths, _ = jax.tree_util.tree_flatten_with_path((params, opt_state))
+    leaves = [leaf for _, leaf in with_paths]
     np.savez(
         os.path.join(path, "checkpoint.npz"),
         **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
@@ -50,6 +51,10 @@ def save_checkpoint(
         "recall": float(recall),
         "hyperparams": hyperparams or {},
         "num_leaves": len(leaves),
+        # Keyed manifest: pytree key path per leaf ("[0]" = params,
+        # "[1]" = opt_state), so consumers locate leaves by NAME instead of
+        # position (serve reads the embedding this way).
+        "leaf_paths": [jax.tree_util.keystr(kp) for kp, _ in with_paths],
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -64,6 +69,20 @@ def load_checkpoint(directory: str, name: str = BEST_NAME) -> tuple[list, dict]:
     data = np.load(os.path.join(path, "checkpoint.npz"))
     leaves = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
     return leaves, meta
+
+
+def find_leaf(leaves: list, meta: dict, needle: str, prefix: str = "[0]"):
+    """Locate a leaf by key-path substring via the keyed manifest
+    (``meta['leaf_paths']``); ``prefix`` narrows to params (``"[0]"``) or
+    opt_state (``"[1]"``). Falls back to ``leaves[0]`` for pre-manifest
+    checkpoints (their layout was params-embedding-first)."""
+    paths = meta.get("leaf_paths")
+    if paths:
+        for p, leaf in zip(paths, leaves):
+            if p.startswith(prefix) and needle in p:
+                return leaf
+        raise KeyError(f"no checkpoint leaf matching {prefix}*{needle}: {paths}")
+    return leaves[0]
 
 
 def restore_into(params_like, opt_state_like, leaves: list):
