@@ -275,6 +275,47 @@ def main():
             log(f"{plans['label']} unavailable: {type(e).__name__}: {e}")
             plans.clear()
 
+    # --- bucketed to_items candidate (src-range-bucketed gather; the
+    # microbench cliff predicts ~161 vs 96 Mrows/s for <=262K-row sub-table
+    # gathers). Shares the heavy head + ELL plan with the hybrid — only
+    # items_plan differs; winner kept, loser freed. First call compiles ONE
+    # extra Mosaic program (all buckets share a padded shape). ---
+    if getattr(fb, "fops", None) is not None:
+        try:
+            import dataclasses as _dc
+
+            from gnn_ecommerce_tpu.ops.bipartite import split_heavy_users
+            from gnn_ecommerce_tpu.ops.spmm_fast import (
+                build_bucketed_segreduce_plan,
+            )
+
+            tb = time.perf_counter()
+            _, _, bu, bd, bw, _, _, _ = split_heavy_users(
+                fb.split, 16384, "bfloat16", build_head=False
+            )
+            bplan = build_bucketed_segreduce_plan(
+                bu, bd, bw, N_ITEMS, n_src=N_USERS, n_buckets=8
+            )
+            jax.block_until_ready(jax.tree.leaves(bplan))
+            fops_b = _dc.replace(fb.fops, items_plan=bplan)
+            fb_b = FastBipartite(split=fb.split, item_op=fb.item_op, fops=fops_b)
+            fast_b2 = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, LAYERS))
+            fast_b = lambda p: fast_b2(p, fb_b)
+            t_b = timeit(fast_b, params, reps=10)
+            log(
+                f"fast + bucketed to_items (8 src buckets; build "
+                f"{time.perf_counter() - tb:.0f}s incl. compile): "
+                f"{t_b*1e3:.1f} ms ({t_fast/t_b:.2f}x vs current best)"
+            )
+            if t_b < t_fast:
+                fast, t_fast, fb = fast_b, t_b, fb_b
+                edges_per_s = logical_edges / t_fast
+                log("bucketed to_items KEPT")
+            else:
+                del fb_b, fast_b, fops_b, bplan
+        except Exception as e:
+            log(f"bucketed candidate unavailable: {type(e).__name__}: {e}")
+
     # --- train step (fast path) ---
     purch = w == 1.0
     pu, pi = u[purch], i[purch] + N_USERS

@@ -152,7 +152,8 @@ def _mm_precision(dtype):
 
 
 def split_heavy_users(
-    split: BipartiteSplit, heavy_users: int, heavy_dtype: str
+    split: BipartiteSplit, heavy_users: int, heavy_dtype: str,
+    build_head: bool = True,
 ) -> tuple:
     """Extract the dense heavy-user head and return the sparse TAIL arcs.
 
@@ -161,6 +162,11 @@ def split_heavy_users(
     ``(hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w)`` where
     ``hi_ids``/``w_hi`` are None when no head is built and the arc arrays
     are the tail (heavy users' arcs removed from BOTH directions).
+
+    ``build_head=False`` skips constructing the dense ``w_hi`` on device
+    (still returns ``hi_ids`` and the same tail) — for callers rebuilding an
+    alternate tail plan that will SHARE an existing head (the [n_items, K]
+    head is ~1.8 GB bf16 at cosmetics scale; don't duplicate it).
     """
     ui_src = np.asarray(split.ui_src_user)
     ui_dst = np.asarray(split.ui_dst_item)
@@ -192,13 +198,14 @@ def split_heavy_users(
             # [n_items, K] head (1.8 GB bf16 at bench scale) costs 50-160 s
             # through the tunnel; the COO is ~27 MB and one unique-index
             # scatter fills it in milliseconds.
-            dt = jnp.bfloat16 if heavy_dtype == "bfloat16" else jnp.float32
-            w_hi = (
-                jnp.zeros((n_items * len(hi),), dt)
-                .at[jnp.asarray(uniq.astype(np.int64))]
-                .set(jnp.asarray(w_sum).astype(dt), unique_indices=True)
-                .reshape(n_items, len(hi))
-            )
+            if build_head:
+                dt = jnp.bfloat16 if heavy_dtype == "bfloat16" else jnp.float32
+                w_hi = (
+                    jnp.zeros((n_items * len(hi),), dt)
+                    .at[jnp.asarray(uniq.astype(np.int64))]
+                    .set(jnp.asarray(w_sum).astype(dt), unique_indices=True)
+                    .reshape(n_items, len(hi))
+                )
             hi_ids = jnp.asarray(hi.astype(np.int32))
             # Tail arcs only (both directions drop the heavy users' arcs).
             keep = ~m
