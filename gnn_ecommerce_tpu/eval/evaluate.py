@@ -83,7 +83,12 @@ def build_eval_buckets(split: EvalSplit, width_floor: int = 64) -> list[EvalBatc
             truth=CsrList(*_csr_take(split.truth, sel)),
             train_mask=CsrList(*_csr_take(split.train_mask, sel)),
         )
-        t_width = max(1, int(sub.truth.lengths().max(initial=0)))
+        # Truth width rounded to pow2 as well: remote TPU compiles cost
+        # minutes each here, so every padded dim must come from a small
+        # closed set of shapes.
+        t_width = 1 << int(
+            max(1, int(sub.truth.lengths().max(initial=0))) - 1
+        ).bit_length()
         batches.append(
             EvalBatch(
                 user_ids=jnp.asarray(sub.user_ids, jnp.int32),

@@ -146,9 +146,12 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     sdata = make_sampler_data(prepared.sampler, prepared.n_users, prepared.n_items)
     # Mask-width-bucketed eval batches: a single globally-padded batch costs
     # O(users x max_degree) HBM (GBs at cosmetics scale); buckets bound the
-    # padding and compile one shape per pow2 width.
-    val_buckets = build_eval_buckets(prepared.val)
-    test_buckets = build_eval_buckets(prepared.test)
+    # padding and compile one shape per pow2 width. width_floor=256 keeps the
+    # bucket count (= remote compiles, minutes each) to ~3-4: the measured
+    # p99 mask width at cosmetics scale is ~150, so one floor bucket holds
+    # 99%+ of users at ~25 MB padding.
+    val_buckets = build_eval_buckets(prepared.val, width_floor=256)
+    test_buckets = build_eval_buckets(prepared.test, width_floor=256)
 
     cfg = LightGCNConfig(
         num_nodes=graph.num_nodes,
