@@ -633,26 +633,40 @@ def build_fast_bipartite(
     band_bytes: float | None = None,
 ) -> FastBipartite:
     split = split_graph(graph)
-    fops = (
-        build_fast_ops(
-            split,
-            msgs_dtype=msgs_dtype,
-            heavy_users=heavy_users,
-            heavy_dtype=heavy_dtype,
-            src_buckets=src_buckets,
-        )
-        if fast_ops
-        else None
-    )
     if band_bytes is None:
         # The heavy-user head (w_hi, ~1.8 GB bf16 at cosmetics scale) is
         # already resident while B_ii accumulates — shrink the f32 band.
         band_bytes = 1.5e9 if (fast_ops and heavy_users > 0) else 2.5e9
-    return FastBipartite(
-        split=split,
-        item_op=build_item_operator(split, dtype=dtype, band_bytes=band_bytes),
-        fops=fops,
-    )
+    fops_box: list = [None]
+    thread = None
+    if fast_ops:
+        # Overlap the plan build (host CPU + small uploads) with the B_ii
+        # build's device dispatches — measured to hide 30-60 s of the
+        # one-time cost at cosmetics scale (same trick as bench.py).
+        import threading
+
+        err_box: list = [None]
+
+        def _build():
+            try:
+                fops_box[0] = build_fast_ops(
+                    split,
+                    msgs_dtype=msgs_dtype,
+                    heavy_users=heavy_users,
+                    heavy_dtype=heavy_dtype,
+                    src_buckets=src_buckets,
+                )
+            except BaseException as e:  # re-raised on the caller's thread
+                err_box[0] = e
+
+        thread = threading.Thread(target=_build, daemon=True)
+        thread.start()
+    item_op = build_item_operator(split, dtype=dtype, band_bytes=band_bytes)
+    if thread is not None:
+        thread.join()
+        if err_box[0] is not None:
+            raise err_box[0]
+    return FastBipartite(split=split, item_op=item_op, fops=fops_box[0])
 
 
 def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
