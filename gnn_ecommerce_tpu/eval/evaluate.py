@@ -89,16 +89,25 @@ def build_eval_buckets(split: EvalSplit, width_floor: int = 64) -> list[EvalBatc
         t_width = 1 << int(
             max(1, int(sub.truth.lengths().max(initial=0))) - 1
         ).bit_length()
+        # Row count padded to pow2 (>= 64): buckets across splits/epochs then
+        # share compiled shapes (remote compiles cost minutes here); the
+        # static num_users keeps the means exact.
+        n_real = len(sub.user_ids)
+        n_rows = 1 << int(max(n_real, 64) - 1).bit_length()
+        uids = np.zeros(n_rows, np.int64)
+        uids[:n_real] = sub.user_ids
+        truth_pad = np.full((n_rows, t_width), -1, np.int32)
+        truth_pad[:n_real] = _pad_csr(sub.truth.indptr, sub.truth.values, t_width)
+        mask_pad = np.full((n_rows, int(w)), -1, np.int32)
+        mask_pad[:n_real] = _pad_csr(
+            sub.train_mask.indptr, sub.train_mask.values, int(w)
+        )
         batches.append(
             EvalBatch(
-                user_ids=jnp.asarray(sub.user_ids, jnp.int32),
-                truth=jnp.asarray(
-                    _pad_csr(sub.truth.indptr, sub.truth.values, t_width)
-                ),
-                mask=jnp.asarray(
-                    _pad_csr(sub.train_mask.indptr, sub.train_mask.values, int(w))
-                ),
-                num_users=len(sub.user_ids),
+                user_ids=jnp.asarray(uids, jnp.int32),
+                truth=jnp.asarray(truth_pad),
+                mask=jnp.asarray(mask_pad),
+                num_users=n_real,
             )
         )
     return batches
@@ -152,9 +161,13 @@ def _evaluate_tiles(
     mask_mode: str,
 ):
     item_emb = final_emb[n_users:]
-    nu = batch.user_ids.shape[0]
-    n_tiles = -(-nu // user_tile)
-    pad = n_tiles * user_tile - nu
+    # Rows may carry pow2 padding (build_eval_buckets) so many buckets share
+    # ONE compiled shape; the STATIC num_users field slices the real users
+    # back out below — padded rows never reach the means.
+    nu_rows = batch.user_ids.shape[0]
+    nu = min(batch.num_users, nu_rows)
+    n_tiles = -(-nu_rows // user_tile)
+    pad = n_tiles * user_tile - nu_rows
     uids = jnp.pad(batch.user_ids, (0, pad)).reshape(n_tiles, user_tile)
     truth = jnp.pad(batch.truth, ((0, pad), (0, 0)), constant_values=-1)
     mask = jnp.pad(batch.mask, ((0, pad), (0, 0)), constant_values=-1)
@@ -190,7 +203,7 @@ def evaluate(
     topk_idx) — the scalar means mirror the reference's
     ``MARK_MAPK`` return (``src/lightgcn.py:189``).
     """
-    user_tile = min(user_tile, max(1, batch.num_users))
+    user_tile = min(user_tile, max(1, int(batch.user_ids.shape[0])))
     topk_idx, recall, precision = _evaluate_tiles(
         final_emb, batch, n_users, k, user_tile, item_tile, mask_mode
     )

@@ -1,5 +1,6 @@
 """Blocked top-K scorer + MARK metrics vs brute-force numpy and torch oracle."""
 import numpy as np
+import pytest
 import torch
 import jax.numpy as jnp
 
@@ -167,3 +168,38 @@ def test_tiled_and_hier_impls_agree(rng):
                          item_tile=512, topk_impl="tiled")
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
     np.testing.assert_array_equal(np.sort(np.asarray(i1), 1), np.sort(np.asarray(i2), 1))
+
+
+def test_bucketed_eval_matches_single_batch(rng):
+    """build_eval_buckets + evaluate_bucketed must reproduce the single
+    globally-padded batch's user-weighted means exactly (pow2 row padding
+    and width bucketing are shape tricks, not semantics)."""
+    import jax.numpy as jnp
+
+    from gnn_ecommerce_tpu.data.prepare import CsrList, EvalSplit
+    from gnn_ecommerce_tpu.eval import build_eval_batch, evaluate
+    from gnn_ecommerce_tpu.eval.evaluate import build_eval_buckets, evaluate_bucketed
+
+    n_users, n_items, dim = 90, 40, 8
+    emb = jnp.asarray(
+        rng.standard_normal((n_users + n_items, dim)).astype(np.float32)
+    )
+    uids = np.sort(rng.choice(n_users, 60, replace=False)).astype(np.int64)
+    t_lens = rng.integers(1, 4, len(uids))
+    truth_vals = rng.integers(0, n_items, int(t_lens.sum()))
+    # Heavily skewed mask lengths so several width buckets actually form.
+    m_lens = np.where(rng.random(len(uids)) < 0.1,
+                      rng.integers(20, 35, len(uids)),
+                      rng.integers(0, 4, len(uids)))
+    mask_vals = rng.integers(0, n_items, int(m_lens.sum()))
+    split = EvalSplit(
+        user_ids=uids,
+        truth=CsrList(np.append(0, np.cumsum(t_lens)), truth_vals),
+        train_mask=CsrList(np.append(0, np.cumsum(m_lens)), mask_vals),
+    )
+    p1, r1, _, _, _ = evaluate(emb, build_eval_batch(split), n_users, k=5, item_tile=16)
+    buckets = build_eval_buckets(split, width_floor=8)
+    assert len(buckets) >= 2  # the skew must produce real bucketing
+    p2, r2 = evaluate_bucketed(emb, buckets, n_users, k=5, item_tile=16)
+    assert p2 == pytest.approx(p1, rel=1e-6)
+    assert r2 == pytest.approx(r1, rel=1e-6)
