@@ -47,9 +47,16 @@ def main():
     from gnn_ecommerce_tpu.train import TrainConfig, train
 
     t0 = time.perf_counter()
+    # Corpus config from the round-3 headroom study
+    # (scripts/corpus_headroom2_r3.json): the first run's corpus
+    # (48 clusters, affinity .7) was popularity-dominated — its weighted
+    # 2-hop skyline (0.101) sat BELOW the popularity baseline (0.128), so no
+    # collaborative model could beat popularity on it. This config's skyline
+    # is 3.5x popularity, and a 1/10-scale mini-train reaches ~0.35 val R@20
+    # vs ~0.067 popularity (scripts/corpus_minitrain_r3.json).
     events = synthetic_events(
         n_users=N_USERS, n_items=N_ITEMS, n_events=N_EVENTS, seed=42,
-        n_clusters=48, affinity=0.7, n_pairs=N_PAIRS,
+        n_clusters=768, affinity=0.85, item_skew=0.9, n_pairs=N_PAIRS,
     )
     edges = events_to_edges(events, EVENT_TYPE_WEIGHTS_V1)
     del events
@@ -63,6 +70,31 @@ def main():
         f"ETL: {n_edges} edges -> {len(prepared.edge_user)} train, "
         f"{prepared.n_users}x{prepared.n_items}, "
         f"val users {len(prepared.val.user_ids)} ({etl_s:.0f}s)",
+        flush=True,
+    )
+
+    # Popularity baseline on the SAME split (global train-purchase top-20,
+    # per-user train-mask removed) — the bar the learned model must clear.
+    t0 = time.perf_counter()
+    smp = prepared.sampler
+    pop = np.bincount(
+        smp.pos_flat - prepared.n_users, minlength=prepared.n_items
+    ).astype(np.float64)
+    val = prepared.val
+    recs = []
+    for r in range(len(val.user_ids)):
+        sc = pop
+        m = val.train_mask.row(r)
+        if len(m):
+            sc = pop.copy()
+            sc[m] = -np.inf
+        top = np.argpartition(sc, -20)[-20:]
+        t = val.truth.row(r)
+        recs.append(len(np.intersect1d(top, t)) / max(1, len(t)))
+    pop_recall = float(np.mean(recs))
+    print(
+        f"popularity baseline val R@20 = {pop_recall:.5f} "
+        f"({time.perf_counter() - t0:.0f}s)",
         flush=True,
     )
 
@@ -100,8 +132,10 @@ def main():
             "dim": cfg.latent_dim,
             "layers": cfg.n_layers,
             "config": "fast_bipartite=bf16, heavy_users=16384",
-            "dataset": "deterministic clustered synthetic (seed 42), "
-                       "20.7M events -> 10,157,407 unique edges "
+            "dataset": "deterministic clustered synthetic (seed 42; 768 "
+                       "co-clusters, affinity 0.85, item_skew 0.9 — "
+                       "headroom-validated, scripts/corpus_headroom2_r3.json)"
+                       ", 20.7M events -> 10,157,407 unique edges "
                        "(real Kaggle data unreachable: DVC/GDrive, no egress)",
         },
         "measured": {
@@ -120,6 +154,8 @@ def main():
             "test_recall": result.test_recall,
             "val_recall_curve": [h["val_recall"] for h in result.history],
             "bpr_loss_curve": [h["bpr_loss"] for h in result.history],
+            "popularity_baseline_val_recall_at_20": pop_recall,
+            "beats_popularity": bool(result.best_val_recall > pop_recall),
         },
         "per_epoch": [
             {k: h[k] for k in ("epoch", "bpr_loss", "val_recall", "train_s",
