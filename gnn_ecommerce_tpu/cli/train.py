@@ -35,6 +35,9 @@ def load_edges(args, cfg: FrameworkConfig) -> pd.DataFrame:
             n_events=args.synthetic_events,
             seed=cfg.train.seed,
             n_clusters=args.synthetic_clusters,
+            affinity=args.synthetic_affinity,
+            user_skew=args.synthetic_user_skew,
+            item_skew=args.synthetic_item_skew,
             n_pairs=args.synthetic_pairs or None,
         )
         return events_to_edges(events, cfg.weights())
@@ -75,6 +78,20 @@ def main(argv=None):
     ap.add_argument(
         "--synthetic-pairs", type=int, default=0,
         help="pin the unique (user,item) pair count (0 = independent draws)",
+    )
+    ap.add_argument(
+        "--synthetic-affinity", type=float, default=0.7,
+        help="P(event stays in the user's cluster) when clusters > 0; the "
+        "headroom study (scripts/corpus_headroom2_r3.py) picked 0.85",
+    )
+    ap.add_argument(
+        "--synthetic-user-skew", type=float, default=0.8,
+        help="zipf exponent for user activity",
+    )
+    ap.add_argument(
+        "--synthetic-item-skew", type=float, default=1.0,
+        help="zipf exponent for item popularity (lower = flatter; 0.9 in "
+        "the headroom-validated corpus)",
     )
     ap.add_argument("-e", "--epochs", type=int, help="override config epochs")
     ap.add_argument("--dim", type=int, help="override latent_dim")
