@@ -200,9 +200,10 @@ def main():
                 tb = time.perf_counter()
                 fops = build_fast_ops(fbsplit, msgs_dtype="bfloat16", **kwargs)
                 jax.block_until_ready(jax.tree.leaves(fops))
-                plans["fops"] = fops
-                plans["label"] = label
-                plans["build_s"] = time.perf_counter() - tb
+                # Single setitem = atomic publish: the main thread may have
+                # given up (join timeout) and snapshotted `plans` — it must
+                # never observe a partially-written entry.
+                plans["result"] = (fops, label, time.perf_counter() - tb)
                 return
             except Exception as e:
                 log(f"{label} build failed: {type(e).__name__}: {e}")
@@ -219,15 +220,19 @@ def main():
     # 10-40 min (documented); fall through to the segment-path bench rather
     # than deadlocking with no output.
     plan_thread.join(timeout=900)
+    # Snapshot once: after a timed-out join the daemon thread keeps running
+    # and may publish later — reading `plans` again further down would
+    # silently reverse the "segment path only" decision logged here.
+    plan_result = plans.get("result")
     if plan_thread.is_alive():
         log("plan build still running after 900s (tunnel stall?) — "
             "continuing with the segment path only")
-        plans.clear()
+        plan_result = None
     t_build = time.perf_counter() - t0  # B_ii ∥ plan builds, wall clock
     log(
         f"one-time build {t_build:.1f}s (B_ii {t_bii:.1f}s, "
         f"{fb.item_op.nbytes/1e9:.2f} GB bf16; plan "
-        f"{plans.get('build_s', float('nan')):.1f}s overlapped)"
+        f"{plan_result[2] if plan_result else float('nan'):.1f}s overlapped)"
     )
 
     # --- fast bipartite path (fb passed as an ARG: closing over it would
@@ -247,13 +252,14 @@ def main():
     # user head; to_users = degree-binned ELL + head). Timed against the
     # plain segment path and the best kept — a Mosaic failure must not kill
     # the bench.
-    if "fops" in plans:
+    if plan_result is not None:
+        fops_built, plan_label, _ = plan_result
         try:
             fast_fo2 = jax.jit(lambda p, fb_: fast_get_embedding(p, fb_, LAYERS))
-            fb_fo = FastBipartite(split=fb.split, item_op=fb.item_op, fops=plans["fops"])
+            fb_fo = FastBipartite(split=fb.split, item_op=fb.item_op, fops=fops_built)
             fast_fo = lambda p: fast_fo2(p, fb_fo)
             t_fo = timeit(fast_fo, params, reps=10)
-            log(f"fast + {plans['label']}: {t_fo*1e3:.1f} ms ({t_fast/t_fo:.2f}x)")
+            log(f"fast + {plan_label}: {t_fo*1e3:.1f} ms ({t_fast/t_fo:.2f}x)")
             if t_fo < t_fast:
                 fast = fast_fo
                 t_fast = t_fo
@@ -265,14 +271,16 @@ def main():
                 # loudly and drop the FastOps so its HBM (incl. the ~1.8 GB
                 # bf16 heavy head) does not crowd the train-step phase.
                 log(
-                    f"WARNING: {plans['label']} LOST to the segment path "
+                    f"WARNING: {plan_label} LOST to the segment path "
                     f"({t_fo*1e3:.1f} vs {t_fast*1e3:.1f} ms) — possible "
                     "regression in the fast plans"
                 )
                 del fb_fo, fast_fo
+                plan_result = fops_built = None
                 plans.clear()
         except Exception as e:
-            log(f"{plans['label']} unavailable: {type(e).__name__}: {e}")
+            log(f"{plan_label} unavailable: {type(e).__name__}: {e}")
+            plan_result = fops_built = None
             plans.clear()
 
     # --- bucketed to_items candidate (src-range-bucketed gather; the
@@ -280,7 +288,12 @@ def main():
     # gathers). Shares the heavy head + ELL plan with the hybrid — only
     # items_plan differs; winner kept, loser freed. First call compiles ONE
     # extra Mosaic program (all buckets share a padded shape). ---
-    if getattr(fb, "fops", None) is not None:
+    # Gate on the heavy head actually being present: the bucketed plan below
+    # re-splits the top-16384 users out of the tail, which is only exact if
+    # the active FastOps covers those users with its dense head — if the
+    # plain-plans fallback won (w_hi=None), replacing items_plan with a
+    # heavy-user-stripped one would silently drop ~22% of arcs.
+    if getattr(fb, "fops", None) is not None and fb.fops.w_hi is not None:
         try:
             import dataclasses as _dc
 

@@ -90,9 +90,16 @@ def synthetic_movielens(
     users = np.concatenate(users_l)
     items = np.concatenate(items_l)
     if len(users) > n_ratings:
-        keep = rng.permutation(len(users))[:n_ratings]
-        # Keep each user's first 20 regardless, then fill to n_ratings.
-        users, items = users[np.sort(keep)], items[np.sort(keep)]
+        # Drop the surplus only from users with >20 ratings so the
+        # ``every user >= 20`` shape property survives truncation.
+        first20 = np.zeros(len(users), bool)
+        starts = np.append(0, np.cumsum(deg[:-1]))
+        first20[(starts[:, None] + np.arange(20)).ravel()] = True
+        droppable = np.flatnonzero(~first20)
+        drop = rng.permutation(droppable)[: len(users) - n_ratings]
+        keep = np.ones(len(users), bool)
+        keep[drop] = False
+        users, items = users[keep], items[keep]
     mu = 3.55  # lands the clipped/rounded mean near the real ~3.53
     raw = (
         mu + b_u[users] + b_i[items]

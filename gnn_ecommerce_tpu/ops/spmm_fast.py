@@ -205,9 +205,16 @@ def build_segreduce_plan(
     n_out: int,
     ot: int = 512,
     ch: int = 2048,
+    device: bool = True,
 ) -> SegReducePlan:
+    """``device=False`` keeps the plan's leaves as host numpy arrays — used
+    by the sharded builder (``spmm_sharded._stack_plans``) so per-device
+    slabs are stacked on the host and ``device_put`` straight to their
+    shards, instead of materializing every slab plus the full stack on the
+    default device first (a ~GB-scale transient at cosmetics scale)."""
     from .. import native
 
+    asarray = jnp.asarray if device else np.asarray
     src = np.asarray(src)
     dst_sorted = np.asarray(dst_sorted)
     w = np.asarray(w)
@@ -215,11 +222,11 @@ def build_segreduce_plan(
     if planned is not None:
         gidx, gw, seg, tile_map, first = planned
         return SegReducePlan(
-            gidx=jnp.asarray(gidx),
-            gw=jnp.asarray(gw),
-            seg=jnp.asarray(seg.reshape(-1, 8, ch // 8)),
-            tile_map=jnp.asarray(tile_map),
-            first=jnp.asarray(first),
+            gidx=asarray(gidx),
+            gw=asarray(gw),
+            seg=asarray(seg.reshape(-1, 8, ch // 8)),
+            tile_map=asarray(tile_map),
+            first=asarray(first),
             n_out=int(n_out),
             ot=int(ot),
             ch=int(ch),
@@ -247,11 +254,11 @@ def build_segreduce_plan(
     first = np.zeros(len(tile_map), np.int32)
     first[np.concatenate([[0], np.cumsum(chunks)[:-1]])] = 1
     return SegReducePlan(
-        gidx=jnp.asarray(gidx),
-        gw=jnp.asarray(gw),
-        seg=jnp.asarray(seg.reshape(-1, 8, ch // 8)),
-        tile_map=jnp.asarray(tile_map),
-        first=jnp.asarray(first),
+        gidx=asarray(gidx),
+        gw=asarray(gw),
+        seg=asarray(seg.reshape(-1, 8, ch // 8)),
+        tile_map=asarray(tile_map),
+        first=asarray(first),
         n_out=int(n_out),
         ot=int(ot),
         ch=int(ch),
@@ -492,16 +499,18 @@ def _pad_plan_chunks(p: SegReducePlan, n_chunks: int, n_tiles: int) -> SegReduce
     if extra == 0:
         return p
     ch = p.ch
+    # Host plans (device=False) stay host: numpy in -> numpy out.
+    xp = np if isinstance(p.gidx, np.ndarray) else jnp
     return SegReducePlan(
-        gidx=jnp.concatenate([p.gidx, jnp.zeros((extra * ch,), p.gidx.dtype)]),
-        gw=jnp.concatenate([p.gw, jnp.zeros((extra * ch,), p.gw.dtype)]),
-        seg=jnp.concatenate(
-            [p.seg, jnp.zeros((extra, 8, ch // 8), p.seg.dtype)]
+        gidx=xp.concatenate([p.gidx, xp.zeros((extra * ch,), p.gidx.dtype)]),
+        gw=xp.concatenate([p.gw, xp.zeros((extra * ch,), p.gw.dtype)]),
+        seg=xp.concatenate(
+            [p.seg, xp.zeros((extra, 8, ch // 8), p.seg.dtype)]
         ),
-        tile_map=jnp.concatenate(
-            [p.tile_map, jnp.full((extra,), n_tiles - 1, p.tile_map.dtype)]
+        tile_map=xp.concatenate(
+            [p.tile_map, xp.full((extra,), n_tiles - 1, p.tile_map.dtype)]
         ),
-        first=jnp.concatenate([p.first, jnp.zeros((extra,), p.first.dtype)]),
+        first=xp.concatenate([p.first, xp.zeros((extra,), p.first.dtype)]),
         n_out=p.n_out,
         ot=p.ot,
         ch=p.ch,

@@ -87,15 +87,19 @@ class ShardedFastOps:
 
 
 def _stack_plans(plans: list[SegReducePlan]) -> PlanStack:
+    """Stack per-device host plans (``build_segreduce_plan(device=False)``)
+    into one host-resident PlanStack. Leaves stay numpy so the caller's
+    ``device_put`` with the device-axis sharding uploads each slab straight
+    to its own chip — no [n_dev, E_pad] transient on the default device."""
     n_tiles = -(-plans[0].n_out // plans[0].ot)
     n_max = max(int(p.tile_map.shape[0]) for p in plans)
     plans = [_pad_plan_chunks(p, n_max, n_tiles) for p in plans]
     return PlanStack(
-        gidx=jnp.stack([p.gidx for p in plans]),
-        gw=jnp.stack([p.gw for p in plans]),
-        seg=jnp.stack([p.seg for p in plans]),
-        tile_map=jnp.stack([p.tile_map for p in plans]),
-        first=jnp.stack([p.first for p in plans]),
+        gidx=np.stack([np.asarray(p.gidx) for p in plans]),
+        gw=np.stack([np.asarray(p.gw) for p in plans]),
+        seg=np.stack([np.asarray(p.seg) for p in plans]),
+        tile_map=np.stack([np.asarray(p.tile_map) for p in plans]),
+        first=np.stack([np.asarray(p.first) for p in plans]),
         n_out=plans[0].n_out,
         ot=plans[0].ot,
         ch=plans[0].ch,
@@ -125,7 +129,8 @@ def build_sharded_fast_ops(
     bounds = np.linspace(0, e, n_dev + 1).astype(np.int64)
     items_plans = [
         build_segreduce_plan(
-            ui_src[lo:hi], ui_dst[lo:hi], ui_w[lo:hi], n_items, ot=ot, ch=ch
+            ui_src[lo:hi], ui_dst[lo:hi], ui_w[lo:hi], n_items, ot=ot, ch=ch,
+            device=False,
         )
         for lo, hi in zip(bounds[:-1], bounds[1:])
     ]
@@ -144,7 +149,7 @@ def build_sharded_fast_ops(
         users_plans.append(
             build_segreduce_plan(
                 iu_src[a0:a1], (iu_dst[a0:a1] - dev * rows_local),
-                iu_w[a0:a1], rows_local, ot=ot, ch=ch,
+                iu_w[a0:a1], rows_local, ot=ot, ch=ch, device=False,
             )
         )
     return ShardedFastOps(

@@ -85,8 +85,9 @@ class TrainConfig:
     batch_edge_cap: int = 0
     # Dense-heavy-user hybrid head size K (ops/bipartite.FastOps): the top-K
     # users by degree leave the descriptor-bound gather plans for one shared
-    # [n_items, K] MXU matmul per SpMM direction. 0 = off. Only used when
-    # fast_bipartite != "off" on a single device.
+    # [n_items, K] MXU matmul per SpMM direction. 0 = off. Used when
+    # fast_bipartite != "off", both single-device and on the GSPMD mesh
+    # branch (sharded plans, ops/spmm_sharded.py).
     heavy_users: int = 0
     # Save the LAST checkpoint every N epochs (always after the final epoch).
     # 0 = only at the end. At cosmetics scale a checkpoint is ~1.6 GB of
@@ -402,6 +403,24 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     best_precision = 0.0
     best_params = None  # HBM copy of the best epoch's params (exact best
     # selection even when disk checkpointing is throttled)
+    best_dirty = False  # best_params newer than the on-disk BEST checkpoint
+    # A resumed run inherits the on-disk BEST as the bar to beat — otherwise
+    # the resumed window's best (possibly worse) would overwrite it.
+    best_meta_path = os.path.join(config.checkpoint_dir, BEST_NAME, "meta.json")
+    if start_epoch > 0 and os.path.exists(best_meta_path):
+        with open(best_meta_path) as f:
+            bmeta = json.load(f)
+        best_recall = float(bmeta.get("recall", 0.0))
+        best_precision = float(bmeta.get("precision", 0.0))
+        best_epoch = int(bmeta.get("epoch", -1))
+        log(
+            {
+                "msg": (
+                    f"resume: on-disk BEST (epoch {best_epoch}, "
+                    f"R@{config.k} {best_recall:.6f}) is the bar to beat"
+                )
+            }
+        )
     for epoch in range(start_epoch, config.epochs):
         profiling = config.profile_dir and epoch == min(
             config.profile_epoch, config.epochs - 1
@@ -458,6 +477,19 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             }
         )
 
+        if recall > best_recall:
+            best_recall, best_precision, best_epoch = recall, precision, epoch
+            import jax.numpy as jnp
+
+            best_params = jax.tree.map(jnp.copy, params)
+            best_dirty = True
+            if config.checkpoint_every == 1:
+                save_checkpoint(
+                    config.checkpoint_dir, ckpt_view(params), ckpt_view(opt_state),
+                    epoch=epoch, precision=precision, recall=recall,
+                    hyperparams=config.hyperparams(), name=BEST_NAME,
+                )
+                best_dirty = False
         last_due = config.checkpoint_every > 0 and (
             (epoch + 1) % config.checkpoint_every == 0
         )
@@ -467,29 +499,31 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
                 epoch=epoch, precision=precision, recall=recall,
                 hyperparams=config.hyperparams(), name=LAST_NAME,
             )
-        if recall > best_recall:
-            best_recall, best_precision, best_epoch = recall, precision, epoch
-            import jax.numpy as jnp
-
-            best_params = jax.tree.map(jnp.copy, params)
-            if config.checkpoint_every == 1:
+            # Throttled mode persists BEST on the same cadence (when it
+            # improved since the last save) so a crash loses at most
+            # checkpoint_every epochs of best-model progress, not all of it.
+            if best_dirty:
                 save_checkpoint(
-                    config.checkpoint_dir, ckpt_view(params), ckpt_view(opt_state),
-                    epoch=epoch, precision=precision, recall=recall,
+                    config.checkpoint_dir, ckpt_view(best_params),
+                    ckpt_view(opt_state), epoch=best_epoch,
+                    precision=best_precision, recall=best_recall,
                     hyperparams=config.hyperparams(), name=BEST_NAME,
                 )
+                best_dirty = False
 
     # Final test eval on the BEST params (fixes the reference bug that
     # evaluates the last-epoch model, src/train_lightgcn.py:73).
     if best_params is not None:
         params = best_params
-        if config.checkpoint_every != 1:  # deferred best save
+        if best_dirty:  # improved after the last cadence save
             save_checkpoint(
                 config.checkpoint_dir, ckpt_view(params), ckpt_view(opt_state),
                 epoch=best_epoch, precision=best_precision, recall=best_recall,
                 hyperparams=config.hyperparams(), name=BEST_NAME,
             )
     elif best_epoch >= 0:
+        # Resumed window never beat the prior run's on-disk BEST — restore
+        # it for the final test eval.
         leaves, _ = load_checkpoint(config.checkpoint_dir, BEST_NAME)
         params, opt_state = restore_into(params, opt_state, leaves)
     final_emb = compute_embedding(params)

@@ -42,21 +42,9 @@ def main():
 
     # Popularity baseline on the same split (train-purchase counts,
     # train-mask removed) — the number the curve must clear.
-    s = prep.sampler
-    pu = np.repeat(s.users, np.diff(s.pos_indptr))
-    pi = s.pos_flat - prep.n_users
-    pop = np.bincount(pi, minlength=prep.n_items).astype(np.float64)
-    recs = []
-    val = prep.val
-    for r in range(len(val.user_ids)):
-        sc = pop.copy()
-        m = val.train_mask.row(r)
-        if len(m):
-            sc[m] = -np.inf
-        top = np.argpartition(sc, -20)[-20:]
-        t = val.truth.row(r)
-        recs.append(len(np.intersect1d(top, t)) / max(1, len(t)))
-    pop_recall = float(np.mean(recs))
+    from gnn_ecommerce_tpu.eval.baselines import popularity_recall_at_k
+
+    pop_recall = popularity_recall_at_k(prep, k=20)
     print(f"popularity val R@20 = {pop_recall:.5f}", flush=True)
 
     cfg = TrainConfig(

@@ -76,22 +76,9 @@ def main():
     # Popularity baseline on the SAME split (global train-purchase top-20,
     # per-user train-mask removed) — the bar the learned model must clear.
     t0 = time.perf_counter()
-    smp = prepared.sampler
-    pop = np.bincount(
-        smp.pos_flat - prepared.n_users, minlength=prepared.n_items
-    ).astype(np.float64)
-    val = prepared.val
-    recs = []
-    for r in range(len(val.user_ids)):
-        sc = pop
-        m = val.train_mask.row(r)
-        if len(m):
-            sc = pop.copy()
-            sc[m] = -np.inf
-        top = np.argpartition(sc, -20)[-20:]
-        t = val.truth.row(r)
-        recs.append(len(np.intersect1d(top, t)) / max(1, len(t)))
-    pop_recall = float(np.mean(recs))
+    from gnn_ecommerce_tpu.eval.baselines import popularity_recall_at_k
+
+    pop_recall = popularity_recall_at_k(prepared, k=20)
     print(
         f"popularity baseline val R@20 = {pop_recall:.5f} "
         f"({time.perf_counter() - t0:.0f}s)",

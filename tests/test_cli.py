@@ -140,6 +140,24 @@ def test_movielens_loader_and_training(tmp_path, monkeypatch):
     assert os.path.exists("model-checkpoints/LightGCN_best/checkpoint.npz")
 
 
+def test_synthetic_movielens_shape_invariants():
+    """ML-100K shape properties the benchmark scripts rely on: ~100K
+    ratings, 1-based ids, and EVERY user >= 20 ratings (truncation must not
+    eat into any user's first 20 — round-3 review finding)."""
+    from gnn_ecommerce_tpu.data.movielens import synthetic_movielens
+
+    df = synthetic_movielens(seed=42)
+    assert 99_000 <= len(df) <= 100_000  # scale loop tolerance ±n_users
+    assert df["user_id"].min() >= 1 and df["item_id"].min() >= 1
+    assert int(df.groupby("user_id").size().min()) >= 20
+    assert df["rating"].between(1, 5).all()
+    # Force the over-target truncation branch: surplus rows must be dropped
+    # only from users with > 20 ratings.
+    small = synthetic_movielens(n_users=100, n_items=300, n_ratings=2100, seed=1)
+    assert len(small) <= 2100 + 100
+    assert int(small.groupby("user_id").size().min()) >= 20
+
+
 def test_movielens_tsv_with_header(tmp_path):
     from gnn_ecommerce_tpu.data.movielens import load_movielens
 

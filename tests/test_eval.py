@@ -203,3 +203,53 @@ def test_bucketed_eval_matches_single_batch(rng):
     p2, r2 = evaluate_bucketed(emb, buckets, n_users, k=5, item_tile=16)
     assert p2 == pytest.approx(p1, rel=1e-6)
     assert r2 == pytest.approx(r1, rel=1e-6)
+
+
+def test_popularity_baseline_matches_independent_pandas():
+    """eval/baselines.popularity_recall_at_k vs an independent pandas
+    set-arithmetic computation on a small synthetic corpus."""
+    import pandas as pd
+
+    from gnn_ecommerce_tpu.data import (
+        events_to_edges, prepare_splits, split_edges, synthetic_events,
+    )
+    from gnn_ecommerce_tpu.data.events import EVENT_TYPE_WEIGHTS_V1
+    from gnn_ecommerce_tpu.eval.baselines import popularity_recall_at_k
+
+    events = synthetic_events(n_users=300, n_items=60, n_events=12000, seed=9)
+    edges = events_to_edges(events, EVENT_TYPE_WEIGHTS_V1)
+    prep = prepare_splits(*split_edges(edges, seed=9, test_size=0.2))
+    got = popularity_recall_at_k(prep, k=10)
+
+    # Independent computation: pandas over the sampler CSR structures.
+    s = prep.sampler
+    pos_u = np.repeat(s.users, np.diff(s.pos_indptr))
+    pos_i = s.pos_flat - prep.n_users
+    counts = pd.Series(pos_i).value_counts()
+    # Stable global order: by count desc, then item id asc (matches
+    # argpartition only in SET terms, so compare via recall means).
+    train_by_user = pd.DataFrame({"u": pos_u, "i": pos_i}).groupby("u")["i"].apply(set)
+    val = prep.val
+    recs = []
+    for r, u in enumerate(val.user_ids):
+        owned = train_by_user.get(u, set())
+        rank = [i for i in counts.index if i not in owned]
+        # Tie-break free comparison: take all items tied with the k-th score
+        # and check the helper's recall lies between worst/best tie choice.
+        top = set(rank[:10])
+        kth = counts.get(rank[9], 0) if len(rank) >= 10 else -1
+        tied = {i for i in rank if counts.get(i, 0) == kth}
+        truth = set(val.truth.row(r).tolist())
+        recs.append((top, tied, truth))
+    # Bounds: recall with worst-case vs best-case tie resolution.
+    lo = hi = 0.0
+    for top, tied, truth in recs:
+        core = {i for i in top if i not in tied}
+        slots = len(top) - len(core)
+        hit_core = len(core & truth)
+        tied_hits = len(tied & truth)
+        lo += (hit_core + max(0, slots - len(tied - truth))) / max(1, len(truth))
+        hi += (hit_core + min(slots, tied_hits)) / max(1, len(truth))
+    lo /= len(recs)
+    hi /= len(recs)
+    assert lo - 1e-9 <= got <= hi + 1e-9

@@ -51,6 +51,46 @@ def test_resume_continues(tmp_path):
     r2 = train(prep, TrainConfig(epochs=4, resume=True, **base), verbose=False)
     # Resume starts at epoch 2, not 0.
     assert [h["epoch"] for h in r2.history] == [2, 3]
+    # A resumed run inherits the prior run's on-disk BEST as the bar: its
+    # reported best can never be WORSE than what run 1 persisted.
+    assert r2.best_val_recall >= r1.best_val_recall
+
+
+def test_throttled_best_checkpoint_persisted_mid_run(tmp_path, monkeypatch):
+    """checkpoint_every > 1 must still persist BEST on the save cadence —
+    a crash after epoch N loses at most checkpoint_every epochs of
+    best-model progress, not the whole run's (round-3 review finding)."""
+    import json
+
+    from gnn_ecommerce_tpu.train import checkpoint as ckpt_mod
+    from gnn_ecommerce_tpu.train import driver as driver_mod
+
+    calls = []
+    real_save = ckpt_mod.save_checkpoint
+
+    def recording_save(*args, **kwargs):
+        calls.append((kwargs.get("name"), kwargs.get("epoch")))
+        return real_save(*args, **kwargs)
+
+    monkeypatch.setattr(driver_mod, "save_checkpoint", recording_save)
+    prep = make_prepared(seed=6)
+    cfg = TrainConfig(
+        latent_dim=8, n_layers=2, epochs=6, batch_size=128,
+        batches_per_epoch=5, checkpoint_dir=str(tmp_path), lr=0.05,
+        checkpoint_every=2,
+    )
+    result = train(prep, cfg, verbose=False)
+    # BEST must hit disk BEFORE the final epoch's LAST save (the old code
+    # deferred it to after the loop, so a crash lost the best model).
+    best_saves = [i for i, (n, _) in enumerate(calls) if n == "LightGCN_best"]
+    final_last = max(
+        i for i, (n, e) in enumerate(calls)
+        if n == "LightGCN_last" and e == cfg.epochs - 1
+    )
+    assert best_saves and best_saves[0] < final_last
+    meta = json.loads((tmp_path / "LightGCN_best" / "meta.json").read_text())
+    assert meta["epoch"] == result.best_epoch
+    assert meta["recall"] == pytest.approx(result.best_val_recall)
 
 
 def test_deterministic_same_seed(tmp_path):
