@@ -89,6 +89,11 @@ def main(argv=None):
     ap.add_argument(
         "--no-paths", action="store_true", help="skip shortest-path explainability"
     )
+    ap.add_argument(
+        "--max-path-users", type=int, default=0,
+        help="cap the number of hit users BFS-explained (0 = all; at full "
+        "cosmetics scale each user is one CSR BFS over ~20M arcs)",
+    )
     args = ap.parse_args(argv)
 
     prepared = load_prepared(args.data_dir)
@@ -134,8 +139,19 @@ def main(argv=None):
         adj = build_adjacency(
             prepared.edge_user, prepared.edge_item_node, prepared.n_users, prepared.n_items
         )
+        path_users = split.user_ids
+        path_topk = topk_idx
+        path_truth = truth_lists
+        if args.max_path_users > 0:
+            hit_rows = np.flatnonzero(np.asarray(per_recall) > 0)[
+                : args.max_path_users
+            ]
+            path_users = split.user_ids[hit_rows]
+            path_topk = np.asarray(topk_idx)[hit_rows]
+            path_truth = [truth_lists[i] for i in hit_rows]
+            print(f"explaining the first {len(hit_rows)} hit users")
         hit_df = hit_paths_frame(
-            adj, split.user_ids, topk_idx, [set(map(int, t)) for t in truth_lists]
+            adj, path_users, path_topk, [set(map(int, t)) for t in path_truth]
         )
         hit_path = os.path.join(args.out, "hit_df.csv")
         hit_df.to_csv(hit_path, index=False)
