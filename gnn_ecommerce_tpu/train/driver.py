@@ -89,6 +89,12 @@ class TrainConfig:
     # fast_bipartite != "off", both single-device and on the GSPMD mesh
     # branch (sharded plans, ops/spmm_sharded.py).
     heavy_users: int = 0
+    # Write checkpoints asynchronously: snapshot leaves on device (fast,
+    # donation-safe), then one background thread does the device->host
+    # readback + npz write overlapped with the next epoch's compute. At
+    # cosmetics scale each save is ~1.6 GB / 30-60 s through a slow link —
+    # async saves take them off the measured training wall entirely.
+    async_saves: bool = True
     # Save the LAST checkpoint every N epochs (always after the final epoch).
     # 0 = only at the end. At cosmetics scale a checkpoint is ~1.6 GB of
     # device->host readback; per-epoch saves through a slow link can dominate
@@ -397,6 +403,48 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
         }
     )
 
+    # Async checkpoint writer: at cosmetics scale a checkpoint is ~1.6 GB of
+    # device->host readback through a slow link (measured 30-60 s/save).
+    # Saves snapshot the leaves ON DEVICE first (donation-safe: the train
+    # step donates params/opt_state buffers, so the live arrays are invalid
+    # by the time a background reader would touch them), then one worker
+    # thread does the readback + np.savez overlapped with the next epoch's
+    # device compute. Ordering is FIFO, so last-writer-wins semantics per
+    # checkpoint name are preserved; flush points surface worker exceptions.
+    import concurrent.futures
+
+    import jax.numpy as _jnp
+
+    saver = (
+        concurrent.futures.ThreadPoolExecutor(1, thread_name_prefix="ckpt")
+        if config.async_saves
+        else None
+    )
+    pending_saves: list = []
+
+    def do_save(params_t, opt_t, **kw):
+        if saver is None:
+            save_checkpoint(
+                config.checkpoint_dir, params_t, opt_t,
+                hyperparams=config.hyperparams(), **kw,
+            )
+            return
+        snap_p = jax.tree.map(_jnp.copy, params_t)
+        snap_o = jax.tree.map(_jnp.copy, opt_t)
+        pending_saves.append(
+            saver.submit(
+                lambda: save_checkpoint(
+                    config.checkpoint_dir, snap_p, snap_o,
+                    hyperparams=config.hyperparams(), **kw,
+                )
+            )
+        )
+
+    def flush_saves():
+        for f in pending_saves:
+            f.result()
+        pending_saves.clear()
+
     history = []
     best_recall = 0.0
     best_epoch = -1
@@ -484,30 +532,29 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             best_params = jax.tree.map(jnp.copy, params)
             best_dirty = True
             if config.checkpoint_every == 1:
-                save_checkpoint(
-                    config.checkpoint_dir, ckpt_view(params), ckpt_view(opt_state),
+                do_save(
+                    ckpt_view(params), ckpt_view(opt_state),
                     epoch=epoch, precision=precision, recall=recall,
-                    hyperparams=config.hyperparams(), name=BEST_NAME,
+                    name=BEST_NAME,
                 )
                 best_dirty = False
         last_due = config.checkpoint_every > 0 and (
             (epoch + 1) % config.checkpoint_every == 0
         )
         if last_due or epoch == config.epochs - 1:
-            save_checkpoint(
-                config.checkpoint_dir, ckpt_view(params), ckpt_view(opt_state),
+            do_save(
+                ckpt_view(params), ckpt_view(opt_state),
                 epoch=epoch, precision=precision, recall=recall,
-                hyperparams=config.hyperparams(), name=LAST_NAME,
+                name=LAST_NAME,
             )
             # Throttled mode persists BEST on the same cadence (when it
             # improved since the last save) so a crash loses at most
             # checkpoint_every epochs of best-model progress, not all of it.
             if best_dirty:
-                save_checkpoint(
-                    config.checkpoint_dir, ckpt_view(best_params),
-                    ckpt_view(opt_state), epoch=best_epoch,
-                    precision=best_precision, recall=best_recall,
-                    hyperparams=config.hyperparams(), name=BEST_NAME,
+                do_save(
+                    ckpt_view(best_params), ckpt_view(opt_state),
+                    epoch=best_epoch, precision=best_precision,
+                    recall=best_recall, name=BEST_NAME,
                 )
                 best_dirty = False
 
@@ -516,14 +563,15 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     if best_params is not None:
         params = best_params
         if best_dirty:  # improved after the last cadence save
-            save_checkpoint(
-                config.checkpoint_dir, ckpt_view(params), ckpt_view(opt_state),
-                epoch=best_epoch, precision=best_precision, recall=best_recall,
-                hyperparams=config.hyperparams(), name=BEST_NAME,
+            do_save(
+                ckpt_view(params), ckpt_view(opt_state),
+                epoch=best_epoch, precision=best_precision,
+                recall=best_recall, name=BEST_NAME,
             )
     elif best_epoch >= 0:
         # Resumed window never beat the prior run's on-disk BEST — restore
         # it for the final test eval.
+        flush_saves()
         leaves, _ = load_checkpoint(config.checkpoint_dir, BEST_NAME)
         params, opt_state = restore_into(params, opt_state, leaves)
     final_emb = compute_embedding(params)
@@ -543,6 +591,9 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             "test_recall": test_recall,
         }
     )
+    flush_saves()  # drain the async writer; surfaces worker exceptions
+    if saver is not None:
+        saver.shutdown()
     log_f.close()
     return TrainResult(
         params=params,
