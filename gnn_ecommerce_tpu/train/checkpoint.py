@@ -40,10 +40,15 @@ def save_checkpoint(
     os.makedirs(path, exist_ok=True)
     with_paths, _ = jax.tree_util.tree_flatten_with_path((params, opt_state))
     leaves = [leaf for _, leaf in with_paths]
+    # Atomic: write tmp + rename, npz BEFORE meta — meta.json's existence
+    # (the resume/serve discovery check) then implies a complete npz even if
+    # the process dies mid-write (async saves widen that window).
+    npz_path = os.path.join(path, "checkpoint.npz")
     np.savez(
-        os.path.join(path, "checkpoint.npz"),
+        npz_path + ".tmp.npz",
         **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
     )
+    os.replace(npz_path + ".tmp.npz", npz_path)
     meta = {
         "timestamp": datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
         "epoch": int(epoch),
@@ -56,8 +61,10 @@ def save_checkpoint(
         # position (serve reads the embedding this way).
         "leaf_paths": [jax.tree_util.keystr(kp) for kp, _ in with_paths],
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(meta_path + ".tmp", meta_path)
     return path
 
 

@@ -91,10 +91,13 @@ class TrainConfig:
     heavy_users: int = 0
     # Write checkpoints asynchronously: snapshot leaves on device (fast,
     # donation-safe), then one background thread does the device->host
-    # readback + npz write overlapped with the next epoch's compute. At
-    # cosmetics scale each save is ~1.6 GB / 30-60 s through a slow link —
-    # async saves take them off the measured training wall entirely.
-    async_saves: bool = True
+    # readback + npz write overlapped with the next epoch's compute,
+    # taking the ~30-60 s/save readback off the training wall. OPT-IN: the
+    # snapshot pins a params+opt copy in HBM (~2.6 GB at cosmetics scale
+    # with dim-80 lane padding), which OOMs a 16 GB chip next to the 6 GB
+    # B_ii operator (measured — the full-scale rerun died at the first
+    # epoch-4 save). Enable when state is small or sharded across chips.
+    async_saves: bool = False
     # Save the LAST checkpoint every N epochs (always after the final epoch).
     # 0 = only at the end. At cosmetics scale a checkpoint is ~1.6 GB of
     # device->host readback; per-epoch saves through a slow link can dominate
@@ -129,9 +132,25 @@ class TrainResult:
 
 
 def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> TrainResult:
+    # Thin wrapper so the log file closes on ANY exit path (e.g. a device
+    # error mid-epoch). The async checkpoint worker is a daemon thread, so a
+    # worker stuck on a dead device link never blocks process exit.
+    state: dict = {}
+    try:
+        return _train_impl(prepared, config, verbose, state)
+    finally:
+        log_f = state.get("log_f")
+        if log_f is not None:
+            log_f.close()
+
+
+def _train_impl(
+    prepared: PreparedData, config: TrainConfig, verbose: bool, _state: dict
+) -> TrainResult:
     os.makedirs(config.checkpoint_dir, exist_ok=True)
     log_path = config.log_path or os.path.join(config.checkpoint_dir, "train_log.jsonl")
     log_f = open(log_path, "a")
+    _state["log_f"] = log_f
 
     def log(record: dict):
         record = {k: (float(v) if isinstance(v, (np.floating, np.integer)) else v)
@@ -405,45 +424,76 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
 
     # Async checkpoint writer: at cosmetics scale a checkpoint is ~1.6 GB of
     # device->host readback through a slow link (measured 30-60 s/save).
-    # Saves snapshot the leaves ON DEVICE first (donation-safe: the train
+    # do_save snapshots the leaves ON DEVICE first (donation-safe: the train
     # step donates params/opt_state buffers, so the live arrays are invalid
-    # by the time a background reader would touch them), then one worker
-    # thread does the readback + np.savez overlapped with the next epoch's
-    # device compute. Ordering is FIFO, so last-writer-wins semantics per
-    # checkpoint name are preserved; flush points surface worker exceptions.
-    import concurrent.futures
+    # by the time a background reader would touch them), then a single
+    # DAEMON worker thread reads the snapshot back ONCE and writes every
+    # target checkpoint dir from it, overlapped with the next epoch's device
+    # compute. Backpressure: a new save first drains the queue, so at most
+    # ONE snapshot (~params+opt, GBs at scale) is ever pinned in HBM beyond
+    # the live state. The daemon flag matters for failure behavior: if the
+    # device link dies mid-readback, process exit is not blocked on the
+    # stuck worker (the sync path would hang identically, but inside train).
+    import queue as _queue
+    import threading as _threading
 
     import jax.numpy as _jnp
 
-    saver = (
-        concurrent.futures.ThreadPoolExecutor(1, thread_name_prefix="ckpt")
-        if config.async_saves
-        else None
-    )
-    pending_saves: list = []
+    save_q: "_queue.Queue" = _queue.Queue()
+    save_errors: list = []
 
-    def do_save(params_t, opt_t, **kw):
+    def _writer():
+        while True:
+            item = save_q.get()
+            try:
+                if item is None:
+                    return
+                snap_p, snap_o, targets = item
+                host_p = jax.tree.map(np.asarray, snap_p)  # one readback
+                host_o = jax.tree.map(np.asarray, snap_o)
+                for name, kw in targets:
+                    save_checkpoint(
+                        config.checkpoint_dir, host_p, host_o,
+                        hyperparams=config.hyperparams(), name=name, **kw,
+                    )
+            except Exception as e:  # surfaced by the next do_save/flush
+                save_errors.append(e)
+            finally:
+                save_q.task_done()
+
+    saver = None
+    if config.async_saves:
+        saver = _threading.Thread(target=_writer, daemon=True, name="ckpt-writer")
+        saver.start()
+
+    def _raise_save_errors():
+        if save_errors:
+            errs = [f"{type(e).__name__}: {e}" for e in save_errors]
+            save_errors.clear()
+            raise RuntimeError(f"async checkpoint write(s) failed: {errs}")
+
+    def do_save(params_t, opt_t, targets):
+        """Write (params_t, opt_t) to every (name, meta-kwargs) in targets —
+        one snapshot + one readback regardless of how many names share it
+        (an improving epoch writes BEST and LAST from the same state)."""
         if saver is None:
-            save_checkpoint(
-                config.checkpoint_dir, params_t, opt_t,
-                hyperparams=config.hyperparams(), **kw,
-            )
-            return
-        snap_p = jax.tree.map(_jnp.copy, params_t)
-        snap_o = jax.tree.map(_jnp.copy, opt_t)
-        pending_saves.append(
-            saver.submit(
-                lambda: save_checkpoint(
-                    config.checkpoint_dir, snap_p, snap_o,
-                    hyperparams=config.hyperparams(), **kw,
+            for name, kw in targets:
+                save_checkpoint(
+                    config.checkpoint_dir, params_t, opt_t,
+                    hyperparams=config.hyperparams(), name=name, **kw,
                 )
-            )
+            return
+        save_q.join()  # <= 1 snapshot alive; also bounds writer backlog
+        _raise_save_errors()  # surface failures EARLY, not at end of run
+        save_q.put(
+            (jax.tree.map(_jnp.copy, params_t), jax.tree.map(_jnp.copy, opt_t),
+             targets)
         )
 
     def flush_saves():
-        for f in pending_saves:
-            f.result()
-        pending_saves.clear()
+        if saver is not None:
+            save_q.join()
+            _raise_save_errors()
 
     history = []
     best_recall = 0.0
@@ -525,6 +575,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             }
         )
 
+        cur_targets = []  # saves of the CURRENT state: share one snapshot
         if recall > best_recall:
             best_recall, best_precision, best_epoch = recall, precision, epoch
             import jax.numpy as jnp
@@ -532,29 +583,32 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
             best_params = jax.tree.map(jnp.copy, params)
             best_dirty = True
             if config.checkpoint_every == 1:
-                do_save(
-                    ckpt_view(params), ckpt_view(opt_state),
-                    epoch=epoch, precision=precision, recall=recall,
-                    name=BEST_NAME,
+                cur_targets.append(
+                    (BEST_NAME,
+                     dict(epoch=epoch, precision=precision, recall=recall))
                 )
                 best_dirty = False
         last_due = config.checkpoint_every > 0 and (
             (epoch + 1) % config.checkpoint_every == 0
         )
         if last_due or epoch == config.epochs - 1:
-            do_save(
-                ckpt_view(params), ckpt_view(opt_state),
-                epoch=epoch, precision=precision, recall=recall,
-                name=LAST_NAME,
+            cur_targets.append(
+                (LAST_NAME,
+                 dict(epoch=epoch, precision=precision, recall=recall))
             )
+        if cur_targets:
+            do_save(ckpt_view(params), ckpt_view(opt_state), cur_targets)
             # Throttled mode persists BEST on the same cadence (when it
-            # improved since the last save) so a crash loses at most
-            # checkpoint_every epochs of best-model progress, not all of it.
+            # improved in an EARLIER epoch of this window) so a crash loses
+            # at most checkpoint_every epochs of best-model progress. The
+            # best params differ from the current state, so this is its own
+            # snapshot.
             if best_dirty:
                 do_save(
                     ckpt_view(best_params), ckpt_view(opt_state),
-                    epoch=best_epoch, precision=best_precision,
-                    recall=best_recall, name=BEST_NAME,
+                    [(BEST_NAME,
+                      dict(epoch=best_epoch, precision=best_precision,
+                           recall=best_recall))],
                 )
                 best_dirty = False
 
@@ -565,8 +619,9 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
         if best_dirty:  # improved after the last cadence save
             do_save(
                 ckpt_view(params), ckpt_view(opt_state),
-                epoch=best_epoch, precision=best_precision,
-                recall=best_recall, name=BEST_NAME,
+                [(BEST_NAME,
+                  dict(epoch=best_epoch, precision=best_precision,
+                       recall=best_recall))],
             )
     elif best_epoch >= 0:
         # Resumed window never beat the prior run's on-disk BEST — restore
@@ -593,8 +648,7 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     )
     flush_saves()  # drain the async writer; surfaces worker exceptions
     if saver is not None:
-        saver.shutdown()
-    log_f.close()
+        save_q.put(None)  # stop the worker thread
     return TrainResult(
         params=params,
         history=history,

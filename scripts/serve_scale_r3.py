@@ -29,32 +29,19 @@ sys.path.insert(0, "/root/repo")
 PREPARED_DIR = "/root/repo/data/prepared_full_r3"
 CKPT_DIR = "/root/repo/model-checkpoints/full_r3"
 
-N_USERS = 1_639_358
-N_ITEMS = 54_571
-N_EVENTS = 20_692_840
-N_PAIRS = 10_157_407
-
 
 def ensure_prepared() -> str:
     import os
 
     if os.path.exists(f"{PREPARED_DIR}/manifest.json"):
         return PREPARED_DIR
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from full_corpus_r3 import build_prepared  # SAME id space as the ckpt
+
     from gnn_ecommerce_tpu.data.artifacts import save_prepared
-    from gnn_ecommerce_tpu.data.events import EVENT_TYPE_WEIGHTS_V1, events_to_edges
-    from gnn_ecommerce_tpu.data.prepare import prepare_splits, split_edges
-    from gnn_ecommerce_tpu.data.synthetic import synthetic_events
 
     t0 = time.perf_counter()
-    # EXACT generation params of scripts/train_full_r3.py — the checkpoint's
-    # relabelled id space must match.
-    events = synthetic_events(
-        n_users=N_USERS, n_items=N_ITEMS, n_events=N_EVENTS, seed=42,
-        n_clusters=768, affinity=0.85, item_skew=0.9, n_pairs=N_PAIRS,
-    )
-    edges = events_to_edges(events, EVENT_TYPE_WEIGHTS_V1)
-    tr, va, te = split_edges(edges, seed=42)
-    prepared = prepare_splits(tr, va, te)
+    prepared, _ = build_prepared()
     save_prepared(prepared, PREPARED_DIR)
     print(f"prepared artifact rebuilt in {time.perf_counter()-t0:.0f}s",
           flush=True)

@@ -26,11 +26,8 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-N_USERS = 1_639_358
-N_ITEMS = 54_571
-N_EVENTS = 20_692_840
-N_PAIRS = 10_157_407
-REFERENCE_HOURS = 24.0
+REFERENCE_HOURS = 24.0  # reference README.md:59; corpus shape lives in
+# scripts/full_corpus_r3.py (shared with serve_scale_r3.py)
 
 
 def main():
@@ -41,30 +38,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
 
-    from gnn_ecommerce_tpu.data.events import EVENT_TYPE_WEIGHTS_V1, events_to_edges
-    from gnn_ecommerce_tpu.data.prepare import prepare_splits, split_edges
-    from gnn_ecommerce_tpu.data.synthetic import synthetic_events
+    import os as _os
+
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from full_corpus_r3 import build_prepared  # single corpus source of truth
+
     from gnn_ecommerce_tpu.train import TrainConfig, train
 
     t0 = time.perf_counter()
-    # Corpus config from the round-3 headroom study
-    # (scripts/corpus_headroom2_r3.json): the first run's corpus
-    # (48 clusters, affinity .7) was popularity-dominated — its weighted
-    # 2-hop skyline (0.101) sat BELOW the popularity baseline (0.128), so no
-    # collaborative model could beat popularity on it. This config's skyline
-    # is 3.5x popularity, and a 1/10-scale mini-train reaches ~0.35 val R@20
-    # vs ~0.067 popularity (scripts/corpus_minitrain_r3.json).
-    events = synthetic_events(
-        n_users=N_USERS, n_items=N_ITEMS, n_events=N_EVENTS, seed=42,
-        n_clusters=768, affinity=0.85, item_skew=0.9, n_pairs=N_PAIRS,
-    )
-    edges = events_to_edges(events, EVENT_TYPE_WEIGHTS_V1)
-    del events
-    tr, va, te = split_edges(edges, seed=42)
-    n_edges = len(edges)
-    del edges
-    prepared = prepare_splits(tr, va, te)
-    del tr, va, te
+    prepared, n_edges = build_prepared()
     etl_s = time.perf_counter() - t0
     print(
         f"ETL: {n_edges} edges -> {len(prepared.edge_user)} train, "

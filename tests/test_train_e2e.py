@@ -77,7 +77,7 @@ def test_throttled_best_checkpoint_persisted_mid_run(tmp_path, monkeypatch):
     cfg = TrainConfig(
         latent_dim=8, n_layers=2, epochs=6, batch_size=128,
         batches_per_epoch=5, checkpoint_dir=str(tmp_path), lr=0.05,
-        checkpoint_every=2,
+        checkpoint_every=2, async_saves=True,  # exercise the async writer
     )
     result = train(prep, cfg, verbose=False)
     # BEST must hit disk BEFORE the final epoch's LAST save (the old code
