@@ -224,3 +224,22 @@ def test_edge_partition_train_to_checkpoint(tmp_path):
     precision, recall, _, _, _ = evaluate(emb, batch, prep.n_users, 20)
     best = max(r1.history + r2.history, key=lambda h: h["val_recall"])
     assert recall == pytest.approx(best["val_recall"], rel=1e-3)
+
+
+def test_async_save_failure_surfaces(tmp_path, monkeypatch):
+    """A failed background checkpoint write must abort training with a
+    RuntimeError at the next save/flush, not pass silently."""
+    from gnn_ecommerce_tpu.train import driver as driver_mod
+
+    def failing_save(*args, **kwargs):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(driver_mod, "save_checkpoint", failing_save)
+    prep = make_prepared(seed=7)
+    cfg = TrainConfig(
+        latent_dim=8, n_layers=2, epochs=3, batch_size=128,
+        batches_per_epoch=5, checkpoint_dir=str(tmp_path / "ck"), lr=0.02,
+        async_saves=True,
+    )
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        train(prep, cfg, verbose=False)
