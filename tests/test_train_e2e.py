@@ -243,3 +243,20 @@ def test_async_save_failure_surfaces(tmp_path, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="async checkpoint"):
         train(prep, cfg, verbose=False)
+
+
+def test_profiler_trace_capture(tmp_path):
+    """TrainConfig.profile_dir captures a jax.profiler trace of one epoch
+    (SURVEY.md §5: the reference has no compute tracing at all)."""
+    prep = make_prepared(seed=9)
+    trace_dir = tmp_path / "trace"
+    cfg = TrainConfig(
+        latent_dim=8, n_layers=2, epochs=2, batch_size=128,
+        batches_per_epoch=3, checkpoint_dir=str(tmp_path / "ck"), lr=0.02,
+        profile_dir=str(trace_dir), profile_epoch=1,
+    )
+    train(prep, cfg, verbose=False)
+    produced = list(trace_dir.rglob("*.xplane.pb")) + list(
+        trace_dir.rglob("*.trace.json.gz")
+    )
+    assert produced, f"no trace files under {trace_dir}"
