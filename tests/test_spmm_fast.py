@@ -209,3 +209,22 @@ def test_bucketed_hybrid_bf16_forward_close(small):
     out = np.asarray(fast_get_embedding(params, fb_fast, cfg.num_layers))
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() / scale < 3e-2
+
+
+def test_host_plan_equals_device_plan(small):
+    """build_segreduce_plan(device=False) must produce numpy leaves that are
+    bit-identical to the device plan's (the sharded builder stacks host
+    plans and device_puts them straight to their shards)."""
+    from gnn_ecommerce_tpu.ops.spmm_fast import build_segreduce_plan
+
+    _, split, _ = small
+    args = (
+        np.asarray(split.ui_src_user), np.asarray(split.ui_dst_item),
+        np.asarray(split.ui_w), split.n_items,
+    )
+    dev = build_segreduce_plan(*args, ot=8, ch=16)
+    host = build_segreduce_plan(*args, ot=8, ch=16, device=False)
+    for leaf in ("gidx", "gw", "seg", "tile_map", "first"):
+        h = getattr(host, leaf)
+        assert isinstance(h, np.ndarray), leaf
+        np.testing.assert_array_equal(h, np.asarray(getattr(dev, leaf)))
