@@ -44,8 +44,8 @@ def main():
         # S = (Rw[chunk] @ Rw^T) @ Rw, chunked. Dense x sparse keeps the
         # [C, n_users] intermediate dense (a sparse-sparse product there
         # would allocate near-dense nnz with 8 B/entry — worse).
-        uu = Rw[chunk].toarray() @ RwT.T  # [C, n_users] ndarray
-        S = np.asarray(uu @ Rw)          # [C, n_items]
+        uu = np.asarray(Rw[chunk].toarray() @ RwT)  # [C,ni] @ [ni,nu] dense
+        S = np.asarray(uu @ Rw)                     # [C, n_items]
         # Remove the self-contribution (the user's own 0-hop weight echo is
         # fine to keep — it scores their OWN items, which the mask removes).
         for r in range(len(chunk)):
