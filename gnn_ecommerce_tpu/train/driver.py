@@ -139,6 +139,9 @@ def train(prepared: PreparedData, config: TrainConfig, verbose: bool = True) -> 
     try:
         return _train_impl(prepared, config, verbose, state)
     finally:
+        stop_saver = state.get("stop_saver")
+        if stop_saver is not None:
+            stop_saver()  # unblock the daemon writer so it exits promptly
         log_f = state.get("log_f")
         if log_f is not None:
             log_f.close()
@@ -465,6 +468,7 @@ def _train_impl(
     if config.async_saves:
         saver = _threading.Thread(target=_writer, daemon=True, name="ckpt-writer")
         saver.start()
+        _state["stop_saver"] = lambda: save_q.put(None)
 
     def _raise_save_errors():
         if save_errors:
