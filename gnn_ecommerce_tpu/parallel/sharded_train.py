@@ -41,14 +41,30 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 def shard_graph(graph: BipartiteGraph, mesh: Mesh) -> BipartiteGraph:
     """Place arc arrays sharded over the data axis; small per-node arrays
-    replicated."""
+    replicated.
+
+    Arc arrays are padded to a multiple of the data-axis size (a [E] array
+    only shards over N devices when N | E) with no-op tail arcs: w = 0 and
+    destination ids OUT OF RANGE (num_nodes), so the sorted-destination
+    promise holds and segment_sum drops them. An 8-device (data 2 x model 4)
+    mesh masked this — arc counts are usually even — but data 4 on a
+    16-device mesh hit it immediately."""
     arc = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
+    pad = (-int(graph.src.shape[0])) % mesh.shape["data"]
+
+    def padded(x, fill):
+        if pad == 0:
+            return jax.device_put(x, arc)
+        return jax.device_put(
+            jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]), arc
+        )
+
     return BipartiteGraph(
-        src=jax.device_put(graph.src, arc),
-        dst=jax.device_put(graph.dst, arc),
-        w_norm=jax.device_put(graph.w_norm, arc),
-        w_raw=jax.device_put(graph.w_raw, arc),
+        src=padded(graph.src, 0),
+        dst=padded(graph.dst, graph.num_nodes),
+        w_norm=padded(graph.w_norm, 0),
+        w_raw=padded(graph.w_raw, 0),
         indptr=jax.device_put(graph.indptr, rep),
         deg=jax.device_put(graph.deg, rep),
         n_users=graph.n_users,

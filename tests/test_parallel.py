@@ -262,3 +262,26 @@ def test_sharded_fast_step_with_plans_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(p1["embedding"]), np.asarray(p8["embedding"]), rtol=1e-3, atol=1e-5
     )
+
+
+def test_shard_graph_pads_to_data_axis():
+    """shard_graph must pad arc arrays to a multiple of the DATA axis: arcs
+    are always 2E (even), so data=2 masked this, but data=4 (the 16-device
+    v5e-16 layout) fails on any E with 2E % 4 != 0 (round-3 dryrun catch).
+    The padded graph must propagate identically to the unsharded one."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from gnn_ecommerce_tpu.models import get_embedding
+    from gnn_ecommerce_tpu.parallel import make_mesh, shard_graph
+
+    graph, cfg, params, rng = g._tiny_setup(n_edges=1997, seed=21)  # arcs % 4 == 2
+    if graph.num_arcs % 4 == 0:  # ensure the pad path actually engages
+        pytest.skip("edge dedup landed on a multiple of 4")
+    mesh = make_mesh(8, axis_sizes=(4, 2))  # data=4: 2E % 4 == 2
+    sg = shard_graph(graph, mesh)
+    assert sg.src.shape[0] % 4 == 0
+    ref = get_embedding(params, graph, cfg)
+    with mesh:
+        out = get_embedding(params, sg, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
