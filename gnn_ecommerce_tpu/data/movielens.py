@@ -91,7 +91,15 @@ def synthetic_movielens(
     items = np.concatenate(items_l)
     if len(users) > n_ratings:
         # Drop the surplus only from users with >20 ratings so the
-        # ``every user >= 20`` shape property survives truncation.
+        # ``every user >= 20`` shape property survives truncation. The
+        # droppable pool is len(users) - 20*n_users rows; a target below
+        # 20*n_users is unsatisfiable under the >=20 floor, so fail loudly
+        # instead of silently returning more rows than asked.
+        if n_ratings < 20 * n_users:
+            raise ValueError(
+                f"n_ratings={n_ratings} < 20*n_users={20 * n_users}: the "
+                ">=20-ratings-per-user floor makes this target unreachable"
+            )
         first20 = np.zeros(len(users), bool)
         starts = np.append(0, np.cumsum(deg[:-1]))
         first20[(starts[:, None] + np.arange(20)).ravel()] = True

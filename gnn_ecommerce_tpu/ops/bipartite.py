@@ -669,23 +669,22 @@ def build_fast_bipartite(
     return FastBipartite(split=split, item_op=item_op, fops=fops_box[0])
 
 
-def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
-    """Shared core of the fast paths: the item-side layer chain.
+def item_chain_core(E_u, E_i, to_items_fn, B, num_layers: int, alpha):
+    """The item-side layer chain, parameterized over the to_items SpMM and
+    the (possibly row-padded / row-sharded) dense operator B.
 
-    Returns (E_u, out_i, S_i) where out_i is the full [n_items, D] final item
-    embedding and S_i the alpha-weighted item source that to_users consumes
-    (module docstring algebra).
+    Shared by the single-chip fast paths (via :func:`_item_chain`) and the
+    fast edge-partition strategy (``parallel/edge_partition_fast.py``, where
+    ``E_u`` is user-row-sharded and ``to_items_fn`` is the shard_map op).
+    Returns (out_i, S_i): the full [n_items, D] final item embedding and the
+    alpha-weighted item source that to_users consumes (module docstring
+    algebra).
     """
-    E = params["embedding"]
-    n_users = fb.n_users
-    E_u, E_i = E[:n_users], E[n_users:]
-
     # Item chain: i^0 = E_i, i^1 = Â_iu E_u, i^{l} = B_ii i^{l-2}. Levels are
     # computed two at a time — B @ [i^{l-2} | i^{l-1}] — so the (6 GB at
     # cosmetics scale, bandwidth-bound) B matrix streams from HBM once per
     # PAIR of layers instead of once per layer.
-    i_seq = [E_i.astype(jnp.float32), fb._to_items(E_u)]
-    B = fb.item_op
+    i_seq = [E_i.astype(jnp.float32), to_items_fn(E_u)]
     n_items = E_i.shape[0]  # B may carry zero row-padding (mesh divisibility)
     D = E_i.shape[1]
     l = 2
@@ -708,6 +707,18 @@ def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
 
     out_i = sum(alpha[l] * i_seq[l] for l in range(num_layers + 1))
     S_i = sum(alpha[l] * i_seq[l - 1] for l in range(1, num_layers + 1))
+    return out_i, S_i
+
+
+def _item_chain(params: dict, fb: FastBipartite, num_layers: int, alpha):
+    """Single-chip/GSPMD wrapper of :func:`item_chain_core` over the unified
+    embedding table. Returns (E_u, out_i, S_i)."""
+    E = params["embedding"]
+    n_users = fb.n_users
+    E_u, E_i = E[:n_users], E[n_users:]
+    out_i, S_i = item_chain_core(
+        E_u, E_i, fb._to_items, fb.item_op, num_layers, alpha
+    )
     return E_u, out_i, S_i
 
 

@@ -14,6 +14,7 @@ Layout per checkpoint directory:
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from datetime import datetime
@@ -42,14 +43,20 @@ def save_checkpoint(
     leaves = [leaf for _, leaf in with_paths]
     # Atomic: write tmp + rename, npz BEFORE meta — meta.json's existence
     # (the resume/serve discovery check) then implies a complete npz even if
-    # the process dies mid-write (async saves widen that window).
+    # the process dies mid-write (async saves widen that window). The PAIR is
+    # not atomic (two os.replace calls), so meta carries the npz sha256:
+    # a crash between the replaces leaves new weights under stale meta, and
+    # load_checkpoint turns that into a loud error instead of resuming with
+    # the wrong epoch/recall attribution.
     npz_path = os.path.join(path, "checkpoint.npz")
     np.savez(
         npz_path + ".tmp.npz",
         **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
     )
+    npz_sha = _file_sha256(npz_path + ".tmp.npz")
     os.replace(npz_path + ".tmp.npz", npz_path)
     meta = {
+        "npz_sha256": npz_sha,
         "timestamp": datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
         "epoch": int(epoch),
         "precision": float(precision),
@@ -68,12 +75,35 @@ def save_checkpoint(
     return path
 
 
+def _file_sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 22), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
 def load_checkpoint(directory: str, name: str = BEST_NAME) -> tuple[list, dict]:
-    """Load raw leaves + metadata; combine with ``restore_into``."""
+    """Load raw leaves + metadata; combine with ``restore_into``.
+
+    Validates meta's recorded npz sha256 (when present — older checkpoints
+    predate it) so a save interrupted between the npz and meta renames fails
+    loudly here instead of silently resuming under the wrong metadata."""
     path = os.path.join(directory, name)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    data = np.load(os.path.join(path, "checkpoint.npz"))
+    npz_path = os.path.join(path, "checkpoint.npz")
+    want = meta.get("npz_sha256")
+    if want is not None:
+        have = _file_sha256(npz_path)
+        if have != want:
+            raise RuntimeError(
+                f"checkpoint {path}: npz sha256 {have[:12]}… does not match "
+                f"meta.json ({want[:12]}…) — the save was interrupted between "
+                "the weights and metadata writes; delete this checkpoint dir "
+                "or restore the matching pair"
+            )
+    data = np.load(npz_path)
     leaves = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
     return leaves, meta
 

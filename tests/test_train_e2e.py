@@ -226,6 +226,50 @@ def test_edge_partition_train_to_checkpoint(tmp_path):
     assert recall == pytest.approx(best["val_recall"], rel=1e-3)
 
 
+def test_edge_partition_resume_never_beats_best(tmp_path):
+    """ADVICE r3 (medium): a resumed edge-partition run that never beats the
+    inherited on-disk BEST restores UNPADDED checkpoint leaves for the final
+    test eval — the driver must re-apply the run's row padding/sharding or
+    the padded shard_map embed crashes on the shape mismatch."""
+    prep = make_prepared(seed=8)
+    n_nodes = prep.n_users + prep.n_items
+    n_shards = 7  # a shard count that does NOT divide n_nodes
+    assert n_nodes % n_shards != 0, "fixture must force real row padding"
+    base = dict(
+        latent_dim=8, n_layers=2, batch_size=128, batches_per_epoch=4,
+        checkpoint_dir=str(tmp_path), mesh_devices=n_shards, partition="edge",
+    )
+    r1 = train(prep, TrainConfig(epochs=2, lr=0.02, **base), verbose=False)
+    # lr=0: the resumed window cannot improve, forcing the restore branch.
+    r2 = train(
+        prep, TrainConfig(epochs=3, resume=True, lr=0.0, **base), verbose=False
+    )
+    assert r2.best_epoch == r1.best_epoch
+    assert r2.test_recall == pytest.approx(r1.test_recall, rel=1e-5)
+
+
+def test_checkpoint_hash_detects_torn_pair(tmp_path):
+    """ADVICE r3: the npz/meta pair is written with two renames; meta records
+    the npz sha256 so a torn pair (crash between the renames) fails loudly at
+    load instead of resuming under stale metadata."""
+    from gnn_ecommerce_tpu.train.checkpoint import BEST_NAME, load_checkpoint
+
+    prep = make_prepared(seed=3)
+    cfg = TrainConfig(
+        latent_dim=8, n_layers=2, epochs=1, batch_size=128,
+        batches_per_epoch=3, checkpoint_dir=str(tmp_path), lr=0.02,
+    )
+    train(prep, cfg, verbose=False)
+    leaves, meta = load_checkpoint(str(tmp_path), BEST_NAME)  # intact: loads
+    assert meta["npz_sha256"]
+    npz = tmp_path / BEST_NAME / "checkpoint.npz"
+    with open(npz, "r+b") as f:
+        f.seek(100)
+        f.write(b"XX")
+    with pytest.raises(RuntimeError, match="sha256"):
+        load_checkpoint(str(tmp_path), BEST_NAME)
+
+
 def test_async_save_failure_surfaces(tmp_path, monkeypatch):
     """A failed background checkpoint write must abort training with a
     RuntimeError at the next save/flush, not pass silently."""
