@@ -303,7 +303,7 @@ def main():
             )
 
             tb = time.perf_counter()
-            _, _, bu, bd, bw, _, _, _ = split_heavy_users(
+            _, _, bu, bd, bw, _, _, _, _ = split_heavy_users(
                 fb.split, 16384, "bfloat16", build_head=False
             )
             bplan = build_bucketed_segreduce_plan(

@@ -157,16 +157,22 @@ def split_heavy_users(
 ) -> tuple:
     """Extract the dense heavy-user head and return the sparse TAIL arcs.
 
-    Shared by the single-chip (:func:`build_fast_ops`) and sharded
-    (``ops/spmm_sharded.build_sharded_fast_ops``) plan builders. Returns
-    ``(hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w)`` where
-    ``hi_ids``/``w_hi`` are None when no head is built and the arc arrays
-    are the tail (heavy users' arcs removed from BOTH directions).
+    Shared by the single-chip (:func:`build_fast_ops`), sharded
+    (``ops/spmm_sharded.build_sharded_fast_ops``) and fast-edge-partition
+    (``parallel/edge_partition_fast.py``) plan builders. Returns
+    ``(hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w,
+    head_coo)`` where ``hi_ids``/``w_hi`` are None when no head is built,
+    the arc arrays are the tail (heavy users' arcs removed from BOTH
+    directions), and ``head_coo = (keys, w_sum)`` is the deduplicated host
+    COO of the head — ``keys = item_id * len(hi_ids) + rank`` sorted
+    ascending — for callers laying the head out differently (per-shard
+    column blocks).
 
     ``build_head=False`` skips constructing the dense ``w_hi`` on device
-    (still returns ``hi_ids`` and the same tail) — for callers rebuilding an
-    alternate tail plan that will SHARE an existing head (the [n_items, K]
-    head is ~1.8 GB bf16 at cosmetics scale; don't duplicate it).
+    (still returns ``hi_ids``, ``head_coo`` and the same tail) — for callers
+    rebuilding an alternate tail plan that will SHARE an existing head (the
+    [n_items, K] head is ~1.8 GB bf16 at cosmetics scale; don't duplicate
+    it), or laying the head out per shard.
     """
     ui_src = np.asarray(split.ui_src_user)
     ui_dst = np.asarray(split.ui_dst_item)
@@ -176,7 +182,7 @@ def split_heavy_users(
     iu_w = np.asarray(split.iu_w)
     n_users, n_items = split.n_users, split.n_items
 
-    hi_ids = w_hi = None
+    hi_ids = w_hi = head_coo = None
     if heavy_users > 0:
         deg = np.bincount(ui_src, minlength=n_users)
         k = min(int(heavy_users), n_users)
@@ -194,6 +200,7 @@ def split_heavy_users(
             key_s, w_s = key[order], ui_w[m][order].astype(np.float32)
             uniq, start = np.unique(key_s, return_index=True)
             w_sum = np.add.reduceat(w_s, start) if len(start) else w_s
+            head_coo = (uniq, w_sum)
             # Build W ON DEVICE from the deduplicated COO: uploading a dense
             # [n_items, K] head (1.8 GB bf16 at bench scale) costs 50-160 s
             # through the tunnel; the COO is ~27 MB and one unique-index
@@ -215,7 +222,7 @@ def split_heavy_users(
             deg_tail = np.where(rank < 0, deg_iu, 0)
             iu_indptr = np.append(0, np.cumsum(deg_tail))
             iu_src, iu_w = iu_src[keep_iu], iu_w[keep_iu]
-    return hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w
+    return hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w, head_coo
 
 
 def build_fast_ops(
@@ -239,7 +246,7 @@ def build_fast_ops(
     )
 
     n_users, n_items = split.n_users, split.n_items
-    hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w = (
+    hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w, _ = (
         split_heavy_users(split, heavy_users, heavy_dtype)
     )
 

@@ -119,7 +119,7 @@ def build_sharded_fast_ops(
     # equal arc share regardless of the 2-D (data, model) logical layout).
     n_dev = int(mesh.size)
     n_users, n_items = split.n_users, split.n_items
-    hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w = (
+    hi_ids, w_hi, ui_src, ui_dst, ui_w, iu_indptr, iu_src, iu_w, _ = (
         split_heavy_users(split, heavy_users, heavy_dtype)
     )
 

@@ -12,6 +12,16 @@ from .edge_partition import (
     make_explicit_fns,
     pad_params,
 )
+from .edge_partition_fast import (
+    FastEdgePartition,
+    build_fast_edge_partition,
+    ep_to_items,
+    ep_to_users,
+    make_fast_edge_fns,
+    merge_ep_view,
+    place_item_op,
+    split_ep_tree,
+)
 
 __all__ = [
     "make_mesh",
@@ -25,4 +35,12 @@ __all__ = [
     "build_edge_partition",
     "make_explicit_fns",
     "pad_params",
+    "FastEdgePartition",
+    "build_fast_edge_partition",
+    "ep_to_items",
+    "ep_to_users",
+    "make_fast_edge_fns",
+    "merge_ep_view",
+    "place_item_op",
+    "split_ep_tree",
 ]

@@ -225,64 +225,150 @@ def _train_impl(
         )
 
         mesh = make_mesh(n_mesh, axis_sizes=(n_mesh,), axis_names=("model",))
-        part = build_edge_partition(graph, n_mesh)
         if config.fast_bipartite != "off":
-            log({"msg": "partition=edge uses the explicit layered path; "
-                        "fast_bipartite ignored"})
-        with mesh:
-            params = pad_params(params, part, mesh)
-            if start_epoch == 0:
-                opt_state = optimizer.init(params)
-            else:
-                # Resumed opt-state leaves are unpadded (checkpoints strip
-                # the row padding); re-pad node-row leaves to S·R.
-                pad = part.padded_nodes - graph.num_nodes
-
-                def _pad_leaf(x):
-                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == graph.num_nodes:
-                        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-                    return x
-
-                opt_state = jax.tree.map(_pad_leaf, opt_state)
-            embed_part, estep = make_explicit_fns(
-                cfg, optimizer, mesh, part, config.batch_size, config.decay
+            # Fast edge partition (parallel/edge_partition_fast.py): B_ii
+            # factorization + per-shard fast SpMM plans + sharded heavy
+            # head under explicit shard_map — per-layer comm is one [I, D]
+            # psum instead of the layered path's boundary all_to_all.
+            from ..ops.bipartite import build_item_operator, split_graph
+            from ..parallel.edge_partition_fast import (
+                build_fast_edge_partition,
+                make_fast_edge_fns,
+                merge_ep_view,
+                split_ep_tree,
             )
-        log(
-            {
-                "msg": (
-                    f"edge partition: {n_mesh} shards x "
-                    f"{part.rows_per_shard} rows, max boundary send "
-                    f"{part.max_send} rows/peer"
+
+            mode = "bfloat16" if config.fast_bipartite == "bf16" else "float32"
+            t0 = time.perf_counter()
+            split = split_graph(graph)
+            item_op = build_item_operator(
+                split,
+                dtype=jnp.bfloat16
+                if config.fast_bipartite == "bf16"
+                else jnp.float32,
+            )
+            with mesh:
+                fep = build_fast_edge_partition(
+                    split, mesh, item_op, msgs_dtype=mode,
+                    heavy_users=config.heavy_users, heavy_dtype=mode,
                 )
-            }
-        )
-
-        def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
-            with mesh:
-                acc = None
-                for b in range(n_steps):
-                    params, opt_state, m = estep(
-                        params, opt_state, part, sdata_, jax.random.fold_in(key_, b)
+                del item_op  # lives on in fep, sharded
+                params = split_ep_tree(params, fep, mesh)
+                opt_state = (
+                    optimizer.init(params)
+                    if start_epoch == 0
+                    else split_ep_tree(opt_state, fep, mesh)
+                )
+                edge_cap = config.batch_edge_cap or max(
+                    64 * config.batch_size, 8192
+                )
+                embed_ep, estep_f = make_fast_edge_fns(
+                    cfg, optimizer, mesh, fep, config.batch_size,
+                    config.decay, edge_cap,
+                )
+            log(
+                {
+                    "msg": (
+                        f"fast edge partition built in "
+                        f"{time.perf_counter() - t0:.1f}s: {n_mesh} shards x "
+                        f"{fep.rows_per_shard} user rows, B_ii "
+                        f"{fep.item_op.nbytes / 1e9:.2f} GB row-sharded, "
+                        f"heavy_users={config.heavy_users}"
                     )
-                    acc = m if acc is None else {k: acc[k] + m[k] for k in m}
-                metrics = {k: v / n_steps for k, v in acc.items()}
-            return params, opt_state, metrics
-
-        def compute_embedding(p):
-            with mesh:
-                return embed_part(p, part)[: graph.num_nodes]
-
-        def ckpt_view(tree):
-            return jax.tree.map(
-                lambda x: x[: graph.num_nodes]
-                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == part.padded_nodes
-                else x,
-                tree,
+                }
             )
 
-        def post_restore(p):
+            def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
+                with mesh:
+                    acc = None
+                    for b in range(n_steps):
+                        params, opt_state, m = estep_f(
+                            params, opt_state, fep, sdata_,
+                            jax.random.fold_in(key_, b),
+                        )
+                        acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+                    metrics = {k: v / n_steps for k, v in acc.items()}
+                return params, opt_state, metrics
+
+            _embed_jit = jax.jit(embed_ep)  # fep passed per call, not baked
+
+            def compute_embedding(p):
+                with mesh:
+                    return _embed_jit(p, fep)
+
+            def ckpt_view(tree):
+                return merge_ep_view(tree, fep)
+
+            def post_restore(p):
+                with mesh:
+                    return split_ep_tree(p, fep, mesh)
+
+            # The unified arc arrays are superseded by the partition slabs.
+            graph = None
+        else:
+            part = build_edge_partition(graph, n_mesh)
             with mesh:
-                return pad_params(p, part, mesh)
+                params = pad_params(params, part, mesh)
+                if start_epoch == 0:
+                    opt_state = optimizer.init(params)
+                else:
+                    # Resumed opt-state leaves are unpadded (checkpoints
+                    # strip the row padding); re-pad node-row leaves to S·R.
+                    pad = part.padded_nodes - graph.num_nodes
+
+                    def _pad_leaf(x):
+                        if (
+                            getattr(x, "ndim", 0) >= 1
+                            and x.shape[0] == graph.num_nodes
+                        ):
+                            return jnp.pad(
+                                x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+                            )
+                        return x
+
+                    opt_state = jax.tree.map(_pad_leaf, opt_state)
+                embed_part, estep = make_explicit_fns(
+                    cfg, optimizer, mesh, part, config.batch_size, config.decay
+                )
+            log(
+                {
+                    "msg": (
+                        f"edge partition: {n_mesh} shards x "
+                        f"{part.rows_per_shard} rows, max boundary send "
+                        f"{part.max_send} rows/peer"
+                    )
+                }
+            )
+            num_nodes_ = graph.num_nodes
+
+            def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
+                with mesh:
+                    acc = None
+                    for b in range(n_steps):
+                        params, opt_state, m = estep(
+                            params, opt_state, part, sdata_,
+                            jax.random.fold_in(key_, b),
+                        )
+                        acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+                    metrics = {k: v / n_steps for k, v in acc.items()}
+                return params, opt_state, metrics
+
+            def compute_embedding(p):
+                with mesh:
+                    return embed_part(p, part)[:num_nodes_]
+
+            def ckpt_view(tree):
+                return jax.tree.map(
+                    lambda x: x[:num_nodes_]
+                    if getattr(x, "ndim", 0) >= 1
+                    and x.shape[0] == part.padded_nodes
+                    else x,
+                    tree,
+                )
+
+            def post_restore(p):
+                with mesh:
+                    return pad_params(p, part, mesh)
 
     elif n_mesh > 1:
         from ..parallel import (
