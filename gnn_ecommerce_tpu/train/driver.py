@@ -534,13 +534,19 @@ def _train_impl(
     # back through the slow link ONCE and writes every target checkpoint
     # dir from it, overlapped with the next epoch's device compute.
     # Platforms without a pinned_host space (CPU tests) fall back to a
-    # device-side copy. Backpressure: up to TWO snapshots may be in flight
-    # (an improving epoch on a throttled cadence writes LAST from the
-    # current state and BEST from an older one — round 3 joined before
-    # every enqueue, which made exactly that second save synchronous);
-    # beyond two, do_save blocks. The daemon flag matters for failure
-    # behavior: if the device link dies mid-readback, process exit is not
-    # blocked on the stuck worker.
+    # device-side copy. The writer is WRITE-BEHIND WITH COALESCING: before
+    # processing, it drains everything queued and keeps only the NEWEST job
+    # per checkpoint name — a stale LAST (or BEST) superseded while the link
+    # was busy is dropped and its snapshot freed WITHOUT the slow readback.
+    # That makes every-epoch saves safe even when one readback takes longer
+    # than an epoch (measured: the tunnel can run at ~10 MB/s, ~3 epochs per
+    # 1.8 GB checkpoint at cosmetics scale): training never stalls, the
+    # on-disk checkpoint simply lags by at most one readback, which is the
+    # correct degradation for a LAST/BEST policy. Backpressure: at most 4
+    # snapshots in flight (bounds pinned-host RAM); beyond that do_save
+    # blocks. The daemon flag matters for failure behavior: if the device
+    # link dies mid-readback, process exit is not blocked on the stuck
+    # worker.
     import queue as _queue
     import threading as _threading
 
@@ -548,7 +554,8 @@ def _train_impl(
 
     save_q: "_queue.Queue" = _queue.Queue()
     save_errors: list = []
-    save_slots = _threading.Semaphore(2)
+    save_slots = _threading.Semaphore(4)
+    save_stats = {"requested": 0, "written": 0, "coalesced": 0}
 
     def _has_pinned_host() -> bool:
         try:
@@ -573,26 +580,48 @@ def _train_impl(
         return jax.tree.map(_jnp.copy, tree)
 
     def _writer():
-        while True:
-            item = save_q.get()
-            if item is None:
-                save_q.task_done()
-                return
+        stop = False
+        while not stop:
+            batch = [save_q.get()]
+            try:  # drain whatever queued while the last readback ran
+                while True:
+                    batch.append(save_q.get_nowait())
+            except _queue.Empty:
+                pass
+            if batch[-1] is None:
+                stop = True
+                batch.pop()
+                save_q.task_done()  # the sentinel's own get
+            # Keep only the NEWEST job per checkpoint name.
+            latest = {}
+            for j, (_, _, targets) in enumerate(batch):
+                for name, _kw in targets:
+                    latest[name] = j
             try:
-                snap_p, snap_o, targets = item
-                host_p = jax.tree.map(np.asarray, snap_p)  # one readback
-                host_o = jax.tree.map(np.asarray, snap_o)
-                del snap_p, snap_o, item  # free the pinned-host snapshot
-                for name, kw in targets:
-                    save_checkpoint(
-                        config.checkpoint_dir, host_p, host_o,
-                        hyperparams=config.hyperparams(), name=name, **kw,
-                    )
+                for j, (snap_p, snap_o, targets) in enumerate(batch):
+                    mine = [
+                        (name, kw) for name, kw in targets if latest[name] == j
+                    ]
+                    if not mine:  # superseded: free snapshot, skip readback
+                        save_stats["coalesced"] += len(targets)
+                        continue
+                    host_p = jax.tree.map(np.asarray, snap_p)  # one readback
+                    host_o = jax.tree.map(np.asarray, snap_o)
+                    for name, kw in mine:
+                        save_checkpoint(
+                            config.checkpoint_dir, host_p, host_o,
+                            hyperparams=config.hyperparams(), name=name, **kw,
+                        )
+                        save_stats["written"] += 1
+                    save_stats["coalesced"] += len(targets) - len(mine)
+                    del host_p, host_o
             except Exception as e:  # surfaced by the next do_save/flush
                 save_errors.append(e)
             finally:
-                save_slots.release()
-                save_q.task_done()
+                for j in range(len(batch)):
+                    batch[j] = None  # free remaining snapshot refs
+                    save_slots.release()
+                    save_q.task_done()
 
     saver = None
     if config.async_saves:
@@ -617,8 +646,9 @@ def _train_impl(
                     hyperparams=config.hyperparams(), name=name, **kw,
                 )
             return
-        save_slots.acquire()  # blocks only when 2 snapshots are in flight
+        save_slots.acquire()  # blocks only when 4 snapshots are in flight
         _raise_save_errors()  # surface failures EARLY, not at end of run
+        save_stats["requested"] += len(targets)
         snap = (_snapshot(params_t), _snapshot(opt_t))
         # Await the DMA (fast) so the next step may donate the live buffers.
         jax.block_until_ready(snap)
@@ -786,6 +816,16 @@ def _train_impl(
     flush_saves()  # drain the async writer; surfaces worker exceptions
     if saver is not None:
         save_q.put(None)  # stop the worker thread
+        log(
+            {
+                "msg": (
+                    f"async saves: {save_stats['written']} written, "
+                    f"{save_stats['coalesced']} coalesced (superseded while "
+                    f"the link was busy) of {save_stats['requested']} requested"
+                ),
+                **save_stats,
+            }
+        )
     return TrainResult(
         params=params,
         history=history,

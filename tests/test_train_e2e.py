@@ -270,6 +270,45 @@ def test_checkpoint_hash_detects_torn_pair(tmp_path):
         load_checkpoint(str(tmp_path), BEST_NAME)
 
 
+def test_async_save_coalescing_slow_link(tmp_path, monkeypatch):
+    """Write-behind coalescing: when one checkpoint write takes longer than
+    an epoch (slow link), queued stale LAST saves are superseded by newer
+    ones instead of stalling training — the FINAL epoch's LAST must still be
+    on disk, and at least one stale save must have been coalesced away."""
+    import time as _time
+
+    from gnn_ecommerce_tpu.train import driver as driver_mod
+
+    real_save = driver_mod.save_checkpoint
+    written = []
+
+    def slow_save(*args, **kwargs):
+        _time.sleep(1.0)  # slower than an epoch of this tiny config
+        written.append((kwargs.get("name"), kwargs.get("epoch")))
+        return real_save(*args, **kwargs)
+
+    monkeypatch.setattr(driver_mod, "save_checkpoint", slow_save)
+    prep = make_prepared(seed=5)
+    n_epochs = 8
+    cfg = TrainConfig(
+        latent_dim=8, n_layers=2, epochs=n_epochs, batch_size=128,
+        batches_per_epoch=2, checkpoint_dir=str(tmp_path), lr=0.02,
+        async_saves=True, checkpoint_every=1,
+    )
+    result = train(prep, cfg, verbose=False)
+    # The newest LAST always lands on disk...
+    import json
+
+    with open(tmp_path / "LightGCN_last" / "meta.json") as f:
+        assert json.load(f)["epoch"] == n_epochs - 1
+    # ...but the slow link forced some stale intermediate LASTs to coalesce
+    # away instead of serializing training behind 1 s/write x 8 epochs.
+    last_epochs = [e for name, e in written if name == "LightGCN_last"]
+    assert len(last_epochs) < n_epochs
+    assert max(last_epochs) == n_epochs - 1
+    assert result.best_epoch >= 0
+
+
 def test_async_save_failure_surfaces(tmp_path, monkeypatch):
     """A failed background checkpoint write must abort training with a
     RuntimeError at the next save/flush, not pass silently."""
