@@ -5,8 +5,10 @@ the raw event CSV (monthly dumps already concatenated, or any event log),
 computes the headline statistics the notebook derives across cells 7-41
 (``data/eda.py:event_stats``), writes them as JSON, optionally writes the
 ``user_item_event.csv`` projection artifact the notebook persists (cell 41)
-and a small self-contained HTML profiling report standing in for the
-notebook's ydata_profiling output (cells 13-15).
+and a self-contained HTML profiling report at ydata-profiling depth —
+per-column distributions, quantiles, missing-value matrix, Pearson/Spearman
+correlations (``data/profile.py``, matching the notebook's
+``your_report.html`` from cells 13-15).
 
     python -m gnn_ecommerce_tpu.cli.eda --events raw.csv --item-col product_id \
         --stats stats.json --report report.html --out-events user_item_event.csv
@@ -14,42 +16,13 @@ notebook's ydata_profiling output (cells 13-15).
 from __future__ import annotations
 
 import argparse
-import html
 import json
 import sys
 
 import pandas as pd
 
 from ..data.eda import event_stats
-
-
-def _report_html(events, stats: dict) -> str:
-    """Self-contained profiling report: headline stats + per-column summary
-    + event-type distribution (ydata_profiling stand-in, no dependencies)."""
-    rows = []
-    for col in events.columns:
-        s = events[col]
-        top = s.value_counts().head(3)
-        top_txt = ", ".join(f"{html.escape(str(k))} ({v})" for k, v in top.items())
-        rows.append(
-            f"<tr><td>{html.escape(col)}</td><td>{s.dtype}</td>"
-            f"<td>{s.nunique()}</td><td>{int(s.isna().sum())}</td>"
-            f"<td>{top_txt}</td></tr>"
-        )
-    stat_rows = "".join(
-        f"<tr><td>{html.escape(str(k))}</td><td>{html.escape(json.dumps(v))}</td></tr>"
-        for k, v in stats.items()
-    )
-    return f"""<!doctype html><html><head><meta charset="utf-8">
-<title>Event-log profile</title>
-<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
-td,th{{border:1px solid #999;padding:4px 8px;text-align:left}}</style></head>
-<body><h1>Event-log profile</h1>
-<h2>Headline statistics</h2><table>{stat_rows}</table>
-<h2>Columns</h2>
-<table><tr><th>column</th><th>dtype</th><th>distinct</th><th>missing</th>
-<th>top values</th></tr>{''.join(rows)}</table>
-</body></html>"""
+from ..data.profile import profile_report
 
 
 def main(argv=None):
@@ -89,7 +62,11 @@ def main(argv=None):
         print(f"wrote {args.out_events}", file=sys.stderr)
     if args.report:
         with open(args.report, "w") as f:
-            f.write(_report_html(events, stats))
+            f.write(
+                profile_report(
+                    events, title="Event-log profile", headline=stats
+                )
+            )
         print(f"wrote {args.report}", file=sys.stderr)
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 
+from ..serve.batching import BatchingRecommender
 from ..serve.server import serve_forever
 from ..serve.service import RecommenderService
 from ..train.checkpoint import BEST_NAME
@@ -30,6 +31,15 @@ def main(argv=None):
         "--quantized", action="store_true",
         help="serve int8-quantized embeddings (4x less HBM traffic)",
     )
+    ap.add_argument(
+        "--no-batching", action="store_true",
+        help="disable cross-request batching (default: coalesce concurrent "
+             "requests into one device call per linger window)",
+    )
+    ap.add_argument(
+        "--batch-delay-ms", type=float, default=4.0,
+        help="batching linger window (TorchServe maxBatchDelay analog)",
+    )
     args = ap.parse_args(argv)
 
     print("loading artifacts + propagating embeddings ...")
@@ -37,6 +47,10 @@ def main(argv=None):
         args.data_dir, args.checkpoint_dir, args.checkpoint_name, k=args.k,
         quantized=args.quantized
     )
+    if not args.no_batching:
+        service = BatchingRecommender(
+            service, max_wait_s=args.batch_delay_ms / 1e3
+        )
     print(f"ready ({service.stats()})")
     serve_forever(service, args.host, args.port)
 

@@ -1,0 +1,165 @@
+"""Cross-request batching for the serving path (round-4 VERDICT item 8).
+
+Round-3 sustained-load measurement (SERVE_r3.json): 8 concurrent clients saw
+p50 163 / p99 291 ms while ONE batch-64 request took 84 ms — concurrent
+requests were queueing on the device call instead of coalescing. TorchServe
+(the parity target) batches per worker with a ``maxBatchDelay``
+(``torchserve/config.properties``); this module is that, TPU-shaped:
+
+- request threads validate their ids, enqueue, and block on an event;
+- one collector thread gathers everything queued within a short linger
+  window (or until the largest compiled batch bucket is full), issues ONE
+  device call on the concatenated ids, and scatters rows back per request.
+
+One device call per window amortizes the fixed dispatch + tunnel latency
+across every rider; the linger adds at most ``max_wait_s`` (default 4 ms)
+to an idle request — noise next to the device call itself.
+"""
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+from .service import RecommenderService
+
+
+class _Pending:
+    __slots__ = ("ids", "k", "event", "result", "error")
+
+    def __init__(self, ids: np.ndarray, k):
+        self.ids = ids
+        self.k = k
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class BatchingRecommender:
+    """Wraps a :class:`RecommenderService` with cross-request coalescing.
+
+    Only requests using the service's default ``k`` ride shared batches
+    (mixed-k coalescing would force per-row top-K widths); explicit-k
+    requests fall through to a direct call.
+    """
+
+    def __init__(
+        self,
+        service: RecommenderService,
+        max_wait_s: float = 0.004,
+        max_users: int | None = None,
+    ):
+        self.service = service
+        self.max_wait_s = max_wait_s
+        self.max_users = max_users or max(service.BATCH_BUCKETS)
+        self._cond = threading.Condition()
+        self._pending: list[_Pending] = []
+        self._batches = 0
+        self._batched_users = 0
+        self._batched_requests = 0
+        self._worker = threading.Thread(
+            target=self._loop, daemon=True, name="serve-batcher"
+        )
+        self._worker.start()
+
+    # -- request side -------------------------------------------------------
+    def recommend(self, user_ids, k: int | None = None) -> np.ndarray:
+        if k is not None and k != self.service.k:
+            return self.service.recommend(user_ids, k=k)  # solo path
+        ids = np.asarray(user_ids, dtype=np.int64)
+        if ids.ndim != 1:
+            raise ValueError(f"user_ids must be 1-D, got shape {ids.shape}")
+        n_users = self.service.prepared.n_users
+        if ((ids < 0) | (ids >= n_users)).any():
+            # Validate BEFORE enqueueing: a bad id must fail only its own
+            # request, never a shared batch.
+            bad = ids[(ids < 0) | (ids >= n_users)]
+            raise ValueError(f"user ids out of range [0, {n_users}): {bad[:5]}")
+        if len(ids) >= self.max_users:
+            return self.service.recommend(ids)  # already a full batch
+        p = _Pending(ids, None)
+        with self._cond:
+            self._pending.append(p)
+            self._cond.notify()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    # -- collector side -----------------------------------------------------
+    def _take_batch(self) -> list[_Pending]:
+        with self._cond:
+            while not self._pending:
+                self._cond.wait()
+            deadline = time.perf_counter() + self.max_wait_s
+            while True:
+                total = sum(len(p.ids) for p in self._pending)
+                remaining = deadline - time.perf_counter()
+                if total >= self.max_users or remaining <= 0:
+                    break
+                self._cond.wait(timeout=remaining)
+            # Take whole requests up to the bucket cap (never split one).
+            batch, total = [], 0
+            for p in self._pending:
+                if batch and total + len(p.ids) > self.max_users:
+                    break
+                batch.append(p)
+                total += len(p.ids)
+            del self._pending[: len(batch)]
+            return batch
+
+    def _loop(self):
+        while True:
+            batch = self._take_batch()
+            ids = np.concatenate([p.ids for p in batch])
+            try:
+                out = self.service.recommend(ids)
+                lo = 0
+                for p in batch:
+                    p.result = out[lo : lo + len(p.ids)]
+                    lo += len(p.ids)
+            except Exception as e:  # pragma: no cover - device failure
+                for p in batch:
+                    p.error = e
+            finally:
+                self._batches += 1
+                self._batched_users += len(ids)
+                self._batched_requests += len(batch)
+                for p in batch:
+                    p.event.set()
+
+    # -- passthroughs -------------------------------------------------------
+    def metrics(self) -> dict:
+        m = self.service.metrics()
+        m.update(
+            {
+                "batches_total": self._batches,
+                "batched_requests_total": self._batched_requests,
+                "batched_users_total": self._batched_users,
+                "users_per_batch_avg": round(
+                    self._batched_users / self._batches, 3
+                )
+                if self._batches
+                else 0.0,
+            }
+        )
+        return m
+
+    def stats(self) -> dict:
+        return {
+            **self.service.stats(),
+            "batching": True,
+            "max_wait_s": self.max_wait_s,
+            "max_batch_users": self.max_users,
+        }
+
+    def refresh_from_checkpoint(self) -> float:
+        return self.service.refresh_from_checkpoint()
+
+    def refresh(self, params: dict) -> float:
+        return self.service.refresh(params)
+
+    @property
+    def prepared(self):
+        return self.service.prepared

@@ -270,3 +270,45 @@ def test_quantized_service_recommend(prepared):
             ] - prepared.n_users).tolist()
         )
         assert not (set(row.tolist()) & purchased)
+
+
+def test_batching_recommender_coalesces(service, prepared):
+    """Concurrent requests ride ONE device call (round-4 cross-request
+    batching): results match the unbatched service per request, at least one
+    multi-request batch forms, and a bad id fails only its own request."""
+    import time
+
+    from gnn_ecommerce_tpu.serve import BatchingRecommender
+
+    batcher = BatchingRecommender(service, max_wait_s=0.05)
+    users = np.asarray(prepared.sampler.users)
+    reqs = [users[i : i + 3] for i in range(0, 24, 3)]
+    expected = [service.recommend(r) for r in reqs]
+
+    results = [None] * len(reqs)
+    errors = [None] * len(reqs)
+
+    def call(i):
+        try:
+            results[i] = batcher.recommend(reqs[i])
+        except Exception as e:  # pragma: no cover
+            errors[i] = e
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(e is None for e in errors), errors
+    for got, want in zip(results, expected):
+        np.testing.assert_array_equal(got, want)
+    m = batcher.metrics()
+    assert m["batched_requests_total"] == len(reqs)
+    assert m["batches_total"] < len(reqs)  # at least one shared batch
+    assert m["users_per_batch_avg"] > 3.0
+
+    # Validation is per-request: a bad id raises for ITS caller only.
+    with pytest.raises(ValueError, match="out of range"):
+        batcher.recommend([prepared.n_users + 7])
+    ok = batcher.recommend(users[:2])
+    np.testing.assert_array_equal(ok, service.recommend(users[:2]))
