@@ -130,8 +130,14 @@ def _profile_numeric(s: pd.Series) -> dict:
     # edge bins rather than flattening everything: clip at q99.
     hi = qs[-1] if qs[-1] > qs[0] else v.max()
     lo = v.min()
-    if hi <= lo:
-        hi = lo + 1
+    # Degenerate range: constant columns, or columns whose spread is below
+    # one float64 ulp at their magnitude (e.g. 19-digit Kaggle category_id
+    # values) — a binned histogram is meaningless; one bar carries it.
+    if not (np.isfinite(lo) and np.isfinite(hi)) or (hi - lo) <= 0 or (
+        (hi - lo) < 32 * np.spacing(max(abs(lo), abs(hi)))
+    ):
+        d["hist"] = ([int(len(v))], [f"{lo:.6g}"])
+        return d
     counts, edges = np.histogram(np.clip(v, lo, hi), bins=24)
     labels = [f"[{edges[i]:.4g}, {edges[i + 1]:.4g})" for i in range(len(counts))]
     d["hist"] = (counts.tolist(), labels)
