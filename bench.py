@@ -44,6 +44,14 @@ EPOCHS = 20                    # reference CLI default (train_lightgcn.py:165)
 EVAL_USERS = 25_000
 REFERENCE_HOURS = 24.0         # reference README.md:59
 
+# Roofline constants for the target chip (TPU v5e single chip, public spec):
+HBM_GBPS = 819.0               # HBM bandwidth
+MXU_BF16_TFLOPS = 197.0        # peak bf16 matmul
+# Measured descriptor rates on THIS chip (scripts/microbench_results*.json):
+# arbitrary-row gather is descriptor-bound, ~independent of row width/dtype.
+DESC_S_PER_ROW_BIG = 9.5e-9    # from the 1.64M-row user table
+DESC_S_PER_ROW_SMALL = 6.2e-9  # from the 54.6K-row item table (147-172M rows/s)
+
 
 def skewed_ids(rng, n, size, a):
     """Zipf-ish ids via inverse-CDF on rank weights (vectorized)."""
@@ -122,6 +130,195 @@ def timeit(f, *args, reps=5):
         out = f(*args)
         float(pull(out))
     return (time.perf_counter() - t0) / reps
+
+
+def roofline_accounting(fb, params, t_fast, step_s):
+    """Per-phase roofline for the fast forward + train step (VERDICT r3 #2).
+
+    For each phase of the measured-optimal forward — to_items gather, Pallas
+    segment reduce, dense heavy head, to_users ELL, B_ii chain — model the
+    bytes moved and the binding floor (HBM stream at 819 GB/s, MXU at 197
+    bf16 TFLOPs, or the MEASURED descriptor rate for arbitrary-row gathers:
+    ~9.5 ns/row big-table / ~6.2 ns/row small-table — the gather engine's
+    per-row cost, 8-13%% of the HBM byte rate, which no layout we measured
+    moves; docs/PERFORMANCE.md "The hardware wall"), time the phase alone
+    where separable, and report achieved GB/s + the fraction of its floor
+    each phase reaches. Also derives the floor-implied step time and the gap
+    the measured train step leaves to it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_ecommerce_tpu.ops.bipartite import fast_to_items, fast_to_users
+    from gnn_ecommerce_tpu.ops.spmm_fast import BucketedSegReducePlan
+
+    fops = fb.fops
+    D = DIM
+    E = params["embedding"]
+    x_users = jax.jit(lambda e: e[:N_USERS].astype(jnp.float32))(E)
+    x_items = jax.jit(lambda e: e[N_USERS:].astype(jnp.float32))(E)
+
+    # --- measured phase times (each jitted alone) ---
+    t_ti = timeit(jax.jit(fast_to_items), x_users, fops, reps=5)
+    t_tu = timeit(jax.jit(fast_to_users), x_items, fops, reps=5)
+
+    plan = fops.items_plan
+    if isinstance(plan, BucketedSegReducePlan):
+        rows_g = int(sum(b.gidx.size for b in plan.buckets))
+        n_chunks = int(sum(b.tile_map.shape[0] for b in plan.buckets))
+        ot = plan.ot
+        t_gather = None  # composite sliced gathers; not separable
+    else:
+        rows_g = int(plan.gidx.size)
+        n_chunks = int(plan.tile_map.shape[0])
+        ot = plan.ot
+        tbl16 = jax.jit(lambda e: e[:N_USERS].astype(jnp.bfloat16))(E)
+        t_gather = timeit(
+            jax.jit(lambda t, ix: jnp.take(t, ix, axis=0)), tbl16, plan.gidx,
+            reps=5,
+        )
+
+    t_head = None
+    if fops.w_hi is not None:
+        K = int(fops.w_hi.shape[1])
+        xh = jax.jit(
+            lambda x, ids: jnp.take(x, ids, axis=0).astype(fops.w_hi.dtype)
+        )(x_users, fops.hi_ids)
+        t_head = timeit(
+            jax.jit(
+                lambda W, x: jnp.dot(
+                    W, x, preferred_element_type=jnp.float32
+                )
+            ),
+            fops.w_hi, xh, reps=5,
+        )
+    else:
+        K = 0
+
+    # B_ii chain alone (pair-streamed exactly like the forward).
+    def chain_only(B, x):
+        out = x
+        l = 2
+        while l <= LAYERS:
+            if l + 1 <= LAYERS:
+                both = jnp.concatenate(
+                    [out.astype(B.dtype), out.astype(B.dtype)], axis=1
+                )
+                out = jnp.dot(B, both, preferred_element_type=jnp.float32)[
+                    :N_ITEMS, :D
+                ]
+                l += 2
+            else:
+                out = jnp.dot(
+                    B, out.astype(B.dtype), preferred_element_type=jnp.float32
+                )[:N_ITEMS]
+                l += 1
+        return out
+
+    t_chain = timeit(jax.jit(chain_only), fb.item_op, x_items, reps=5)
+
+    ell_rows = int(sum(ix.size for ix in fops.users_ell.idx))
+    bw = HBM_GBPS * 1e9
+    n_streams_fwd = (LAYERS - 1 + 1) // 2  # pair streaming of B
+
+    def phase(bytes_, desc_s=0.0, mxu_flops=0.0, measured=None):
+        hbm_s = bytes_ / bw
+        mxu_s = mxu_flops / (MXU_BF16_TFLOPS * 1e12)
+        floor_s = max(hbm_s, desc_s, mxu_s)
+        bound = (
+            "descriptor" if floor_s == desc_s and desc_s > 0
+            else ("mxu" if floor_s == mxu_s and mxu_flops > 0 else "hbm")
+        )
+        d = {
+            "bytes_moved": int(bytes_),
+            "floor_ms": round(floor_s * 1e3, 2),
+            "bound_by": bound,
+            "hbm_floor_ms": round(hbm_s * 1e3, 2),
+        }
+        if desc_s:
+            d["descriptor_floor_ms"] = round(desc_s * 1e3, 2)
+        if mxu_flops:
+            d["mxu_floor_ms"] = round(mxu_s * 1e3, 3)
+        if measured is not None:
+            d["measured_ms"] = round(measured * 1e3, 2)
+            d["achieved_GBps"] = round(bytes_ / measured / 1e9, 1)
+            d["pct_of_floor"] = round(100 * floor_s / measured, 1)
+            d["pct_of_hbm_sol"] = round(100 * (bytes_ / measured) / bw, 1)
+        return d
+
+    head_bytes = N_ITEMS * K * 2 + K * D * 2 + N_ITEMS * D * 4
+    phases = {
+        "to_items_gather": phase(
+            rows_g * (D * 2 + 4),
+            desc_s=rows_g * DESC_S_PER_ROW_BIG,
+            measured=t_gather,
+        ),
+        "to_items_pallas_reduce": phase(
+            rows_g * D * 2 + n_chunks * ot * D * 4 * 2,
+            measured=(t_ti - (t_gather or 0.0) - (t_head or 0.0))
+            if t_gather is not None
+            else None,
+        ),
+        "heavy_head_per_direction": phase(
+            head_bytes,
+            mxu_flops=2.0 * N_ITEMS * K * D,
+            measured=t_head,
+        ),
+        "to_users_ell": phase(
+            ell_rows * (D * 2 + 8) + N_USERS * D * 4,
+            desc_s=ell_rows * DESC_S_PER_ROW_SMALL,
+            measured=(t_tu - (t_head or 0.0)) if t_head is not None else t_tu,
+        ),
+        "b_ii_chain": phase(
+            n_streams_fwd * fb.item_op.size * 2
+            + (LAYERS - 1) * N_ITEMS * D * 4 * 2,
+            mxu_flops=(LAYERS - 1) * 2.0 * N_ITEMS * N_ITEMS * D,
+            measured=t_chain,
+        ),
+    }
+
+    fwd_floor_s = (
+        phases["to_items_gather"]["floor_ms"]
+        + phases["to_items_pallas_reduce"]["floor_ms"]
+        + 2 * phases["heavy_head_per_direction"]["floor_ms"]
+        + phases["to_users_ell"]["floor_ms"]
+        + phases["b_ii_chain"]["floor_ms"]
+    ) / 1e3
+
+    # Train-step floor: batched fwd (to_items full + chain + head) + its
+    # transpose in the bwd (to_users full + chain + head) + Adam streaming
+    # params + 2 moments, read+write, f32.
+    adam_bytes = 3 * (N_USERS + N_ITEMS) * D * 4 * 2
+    step_floor_s = (
+        phases["to_items_gather"]["floor_ms"]
+        + phases["to_items_pallas_reduce"]["floor_ms"]
+        + phases["to_users_ell"]["floor_ms"]
+        + 2 * phases["heavy_head_per_direction"]["floor_ms"]
+        + 2 * phases["b_ii_chain"]["floor_ms"]
+    ) / 1e3 + adam_bytes / bw
+    return {
+        "assumptions": {
+            "hbm_GBps": HBM_GBPS,
+            "mxu_bf16_tflops": MXU_BF16_TFLOPS,
+            "descriptor_ns_per_row_big_table": DESC_S_PER_ROW_BIG * 1e9,
+            "descriptor_ns_per_row_small_table": DESC_S_PER_ROW_SMALL * 1e9,
+        },
+        "phases": phases,
+        "forward": {
+            "measured_ms": round(t_fast * 1e3, 2),
+            "floor_ms": round(fwd_floor_s * 1e3, 2),
+            "pct_of_floor": round(100 * fwd_floor_s / t_fast, 1),
+            "phase_sum_measured_ms": round(
+                (t_ti + t_tu + t_chain) * 1e3, 2
+            ),
+        },
+        "train_step": {
+            "measured_ms": round(step_s * 1e3, 2),
+            "floor_ms": round(step_floor_s * 1e3, 2),
+            "pct_of_floor": round(100 * step_floor_s / step_s, 1),
+            "adam_hbm_floor_ms": round(adam_bytes / bw * 1e3, 2),
+        },
+    }
 
 
 def main():
@@ -418,6 +615,34 @@ def main():
         f"random-ranker floor ~{20 / N_ITEMS:.2e})"
     )
 
+    # --- roofline accounting (VERDICT r3 item 2): per-phase bytes, floors,
+    # achieved GB/s, and the floor-implied step time ---
+    roofline = {}
+    if getattr(fb, "fops", None) is not None:
+        try:
+            del final_emb
+            roofline = roofline_accounting(fb, params, t_fast, step_s)
+            log(
+                "roofline: forward floor "
+                f"{roofline['forward']['floor_ms']} ms "
+                f"({roofline['forward']['pct_of_floor']}% of floor reached); "
+                f"step floor {roofline['train_step']['floor_ms']} ms "
+                f"({roofline['train_step']['pct_of_floor']}% reached)"
+            )
+            for name, ph in roofline["phases"].items():
+                log(
+                    f"  {name}: floor {ph['floor_ms']} ms ({ph['bound_by']}) "
+                    + (
+                        f"measured {ph['measured_ms']} ms, "
+                        f"{ph.get('achieved_GBps', 0)} GB/s, "
+                        f"{ph.get('pct_of_hbm_sol', 0)}% of HBM SoL"
+                        if "measured_ms" in ph
+                        else "(not separable)"
+                    )
+                )
+        except Exception as e:
+            log(f"roofline accounting failed: {type(e).__name__}: {e}")
+
     # --- projection vs reference (includes the one-time B_ii build) ---
     epoch_s = STEPS_PER_EPOCH * step_s + eval_s + t_fast
     projected_hours = (t_build + EPOCHS * epoch_s) / 3600.0
@@ -443,6 +668,7 @@ def main():
                     "heldout_recall_at_20": round(recall, 5),
                     "projected_train_hours": round(projected_hours, 3),
                     "graph": f"{N_USERS}x{N_ITEMS}, {N_EDGES} edges, dim {DIM}, {LAYERS} layers",
+                    "roofline": roofline,
                 },
             }
         )
