@@ -120,6 +120,11 @@ class TrainConfig:
         }
 
 
+# Row-band size for async checkpoint snapshots (see _snapshot in
+# _train_impl); module-level so tests can shrink it to exercise banding.
+SNAPSHOT_BAND_BYTES = 32 << 20
+
+
 @dataclasses.dataclass
 class TrainResult:
     params: dict
@@ -568,16 +573,43 @@ def _train_impl(
             return False
 
     pinned_host_ok = config.async_saves and _has_pinned_host()
+    # Big leaves are snapshotted as a LIST of row bands: the writer then
+    # reads them back piece by piece, so its bulk transfer cannot head-of-
+    # line-block other link traffic (measured: an unbanded 1.8 GB readback
+    # through the ~12 MB/s tunnel inflated the per-epoch EVAL from ~1 s to
+    # ~70 s while it was in flight) — the link interleaves at band
+    # granularity (~3 s) instead of checkpoint granularity (~minutes).
+    _BAND_BYTES = SNAPSHOT_BAND_BYTES
+
+    def _snap_one(x):
+        if pinned_host_ok:
+            return jax.device_put(x, x.sharding.with_memory_kind("pinned_host"))
+        return _jnp.copy(x)
+
+    def _snapshot_leaf(x):
+        nbytes = x.size * x.dtype.itemsize
+        if getattr(x, "ndim", 0) >= 1 and nbytes > 2 * _BAND_BYTES:
+            nb = -(-nbytes // _BAND_BYTES)
+            rows = -(-x.shape[0] // nb)
+            return [_snap_one(x[i * rows : (i + 1) * rows]) for i in range(nb)]
+        return _snap_one(x)
 
     def _snapshot(tree):
-        if pinned_host_ok:
-            return jax.tree.map(
-                lambda x: jax.device_put(
-                    x, x.sharding.with_memory_kind("pinned_host")
-                ),
-                tree,
-            )
-        return jax.tree.map(_jnp.copy, tree)
+        return jax.tree.map(_snapshot_leaf, tree)
+
+    def _read_back(tree):
+        """Banded-aware device->host readback (runs on the writer thread);
+        yields the link between bands."""
+        def one(x):
+            if isinstance(x, list):
+                parts = []
+                for b in x:
+                    parts.append(np.asarray(b))
+                    time.sleep(0.01)  # let queued small RPCs interleave
+                return np.concatenate(parts, axis=0)
+            return np.asarray(x)
+
+        return jax.tree.map(one, tree, is_leaf=lambda x: isinstance(x, list))
 
     def _writer():
         stop = False
@@ -605,8 +637,8 @@ def _train_impl(
                     if not mine:  # superseded: free snapshot, skip readback
                         save_stats["coalesced"] += len(targets)
                         continue
-                    host_p = jax.tree.map(np.asarray, snap_p)  # one readback
-                    host_o = jax.tree.map(np.asarray, snap_o)
+                    host_p = _read_back(snap_p)  # one (banded) readback
+                    host_o = _read_back(snap_o)
                     for name, kw in mine:
                         save_checkpoint(
                             config.checkpoint_dir, host_p, host_o,

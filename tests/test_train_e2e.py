@@ -343,3 +343,37 @@ def test_profiler_trace_capture(tmp_path):
         trace_dir.rglob("*.trace.json.gz")
     )
     assert produced, f"no trace files under {trace_dir}"
+
+
+def test_async_save_banded_snapshot(tmp_path, monkeypatch):
+    """Big leaves snapshot as row-band LISTS (the writer reads them back
+    piece by piece so its bulk transfer cannot head-of-line-block the link);
+    the reassembled checkpoint must be byte-identical to a sync save."""
+    from gnn_ecommerce_tpu.train import driver as driver_mod
+
+    # Shrink the band threshold so the tiny test table actually bands
+    # (480 nodes x 8 dims f32 = 15 KB -> ~16 bands at 1 KB).
+    monkeypatch.setattr(driver_mod, "SNAPSHOT_BAND_BYTES", 1024)
+    prep = make_prepared(seed=3)
+    base = dict(
+        latent_dim=8, n_layers=2, epochs=1, batch_size=128,
+        batches_per_epoch=3, lr=0.02,
+    )
+    r_async = train(
+        prep,
+        TrainConfig(checkpoint_dir=str(tmp_path / "a"), async_saves=True, **base),
+        verbose=False,
+    )
+    r_sync = train(
+        prep,
+        TrainConfig(checkpoint_dir=str(tmp_path / "s"), async_saves=False, **base),
+        verbose=False,
+    )
+    import numpy as np_
+
+    a = np_.load(tmp_path / "a" / "LightGCN_best" / "checkpoint.npz")
+    s = np_.load(tmp_path / "s" / "LightGCN_best" / "checkpoint.npz")
+    assert set(a.files) == set(s.files)
+    for k in a.files:
+        np_.testing.assert_array_equal(a[k], s[k])
+    assert r_async.best_val_recall == pytest.approx(r_sync.best_val_recall)
