@@ -127,9 +127,10 @@ def _profile_numeric(s: pd.Series) -> dict:
     )
     # 24-bin histogram; long-tailed columns (the event logs' degree-like
     # ids/prices) still show shape because extreme outliers land in the
-    # edge bins rather than flattening everything: clip at q99.
+    # edge bins rather than flattening everything: clip BOTH tails (q1/q99 —
+    # one corrupt sentinel low value must not stretch the range either).
     hi = qs[-1] if qs[-1] > qs[0] else v.max()
-    lo = v.min()
+    lo = qs[0] if qs[-1] > qs[0] else v.min()
     # Degenerate range: constant columns, or columns whose spread is below
     # one float64 ulp at their magnitude (e.g. 19-digit Kaggle category_id
     # values) — a binned histogram is meaningless; one bar carries it.

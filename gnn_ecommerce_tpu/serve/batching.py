@@ -26,7 +26,7 @@ from .service import RecommenderService
 
 
 class _Pending:
-    __slots__ = ("ids", "k", "event", "result", "error")
+    __slots__ = ("ids", "k", "event", "result", "error", "t_enq")
 
     def __init__(self, ids: np.ndarray, k):
         self.ids = ids
@@ -34,6 +34,7 @@ class _Pending:
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.t_enq = time.perf_counter()
 
 
 class BatchingRecommender:
@@ -92,7 +93,11 @@ class BatchingRecommender:
         with self._cond:
             while not self._pending:
                 self._cond.wait()
-            deadline = time.perf_counter() + self.max_wait_s
+            # Linger anchored to the OLDEST request's arrival: leftovers
+            # from a capacity-cut batch (or requests that queued during the
+            # previous device call) have already aged past the window and
+            # dispatch immediately instead of paying a fresh linger.
+            deadline = self._pending[0].t_enq + self.max_wait_s
             while True:
                 total = sum(len(p.ids) for p in self._pending)
                 remaining = deadline - time.perf_counter()

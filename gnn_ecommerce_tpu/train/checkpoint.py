@@ -88,21 +88,30 @@ def load_checkpoint(directory: str, name: str = BEST_NAME) -> tuple[list, dict]:
 
     Validates meta's recorded npz sha256 (when present — older checkpoints
     predate it) so a save interrupted between the npz and meta renames fails
-    loudly here instead of silently resuming under the wrong metadata."""
+    loudly here instead of silently resuming under the wrong metadata.
+    A mismatch is retried: a CONCURRENT save (serving refresh while training
+    writes every epoch) can legally replace the npz while this reader is
+    hashing the old one — re-reading meta+npz lands on a consistent pair;
+    only a persistent mismatch (a genuinely torn pair on disk) raises."""
     path = os.path.join(directory, name)
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
     npz_path = os.path.join(path, "checkpoint.npz")
-    want = meta.get("npz_sha256")
-    if want is not None:
+    have = want = None
+    for _ in range(3):
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        want = meta.get("npz_sha256")
+        if want is None:
+            break
         have = _file_sha256(npz_path)
-        if have != want:
-            raise RuntimeError(
-                f"checkpoint {path}: npz sha256 {have[:12]}… does not match "
-                f"meta.json ({want[:12]}…) — the save was interrupted between "
-                "the weights and metadata writes; delete this checkpoint dir "
-                "or restore the matching pair"
-            )
+        if have == want:
+            break
+    else:
+        raise RuntimeError(
+            f"checkpoint {path}: npz sha256 {have[:12]}… does not match "
+            f"meta.json ({want[:12]}…) after retries — the save was "
+            "interrupted between the weights and metadata writes; delete "
+            "this checkpoint dir or restore the matching pair"
+        )
     data = np.load(npz_path)
     leaves = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
     return leaves, meta

@@ -217,6 +217,27 @@ def _train_impl(
     # before compute_embedding touches the restored table.
     post_restore = lambda p: p
 
+    def _mesh_run_steps(step_fn, mesh_, step_arg=None):
+        """Shared epoch loop for the mesh branches: call ``step_fn`` n times
+        under the mesh context, averaging metrics. ``step_arg=None`` passes
+        the per-call graph argument through (the GSPMD branches); a fixed
+        value pins the partition structure (the edge branches)."""
+
+        def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
+            arg = graph_ if step_arg is None else step_arg
+            with mesh_:
+                acc = None
+                for b in range(n_steps):
+                    params, opt_state, m = step_fn(
+                        params, opt_state, arg, sdata_,
+                        jax.random.fold_in(key_, b),
+                    )
+                    acc = m if acc is None else {k: acc[k] + m[k] for k in m}
+                metrics = {k: v / n_steps for k, v in acc.items()}
+            return params, opt_state, metrics
+
+        return run_steps
+
     mesh = None
     n_mesh = config.mesh_devices if config.mesh_devices != 0 else len(jax.devices())
     if n_mesh > 1 and config.partition == "edge":
@@ -283,17 +304,7 @@ def _train_impl(
                 }
             )
 
-            def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
-                with mesh:
-                    acc = None
-                    for b in range(n_steps):
-                        params, opt_state, m = estep_f(
-                            params, opt_state, fep, sdata_,
-                            jax.random.fold_in(key_, b),
-                        )
-                        acc = m if acc is None else {k: acc[k] + m[k] for k in m}
-                    metrics = {k: v / n_steps for k, v in acc.items()}
-                return params, opt_state, metrics
+            run_steps = _mesh_run_steps(estep_f, mesh, step_arg=fep)
 
             _embed_jit = jax.jit(embed_ep)  # fep passed per call, not baked
 
@@ -345,18 +356,7 @@ def _train_impl(
                 }
             )
             num_nodes_ = graph.num_nodes
-
-            def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
-                with mesh:
-                    acc = None
-                    for b in range(n_steps):
-                        params, opt_state, m = estep(
-                            params, opt_state, part, sdata_,
-                            jax.random.fold_in(key_, b),
-                        )
-                        acc = m if acc is None else {k: acc[k] + m[k] for k in m}
-                    metrics = {k: v / n_steps for k, v in acc.items()}
-                return params, opt_state, metrics
+            run_steps = _mesh_run_steps(estep, mesh, step_arg=part)
 
             def compute_embedding(p):
                 with mesh:
@@ -444,18 +444,7 @@ def _train_impl(
                     cfg, optimizer, mesh, config.batch_size, config.decay
                 )
 
-        def run_steps(params, opt_state, graph_, sdata_, key_, n_steps):
-            with mesh:
-                acc = None
-                for b in range(n_steps):
-                    params, opt_state, m = sharded_step(
-                        params, opt_state, graph_, sdata_, jax.random.fold_in(key_, b)
-                    )
-                    acc = m if acc is None else {
-                        k: acc[k] + m[k] for k in m
-                    }
-                metrics = {k: v / n_steps for k, v in acc.items()}
-            return params, opt_state, metrics
+        run_steps = _mesh_run_steps(sharded_step, mesh)
 
         log({"msg": f"mesh training: {dict(zip(mesh.axis_names, mesh.devices.shape))}"})
     elif config.fast_bipartite != "off":
@@ -552,14 +541,23 @@ def _train_impl(
     # blocks. The daemon flag matters for failure behavior: if the device
     # link dies mid-readback, process exit is not blocked on the stuck
     # worker.
-    import queue as _queue
     import threading as _threading
 
     import jax.numpy as _jnp
 
-    save_q: "_queue.Queue" = _queue.Queue()
+    # Latest-wins MAILBOX, one slot per checkpoint name: do_save replaces a
+    # still-queued save of the same name (freeing the superseded snapshot
+    # immediately) and NEVER blocks — the full-scale run measured the old
+    # bounded-queue design stalling an epoch for ~190 s whenever its slots
+    # filled (writer readback ~150 s > epoch ~56 s through the slow link).
+    # Outstanding snapshots are bounded by construction: one per distinct
+    # name in the box (BEST, LAST) plus the one being read back.
+    save_cv = _threading.Condition()
+    save_box: dict = {}   # name -> (snapshot_id, snap_p, snap_o, meta_kw)
+    save_busy = [False]
+    save_stop = [False]
+    save_seq = [0]
     save_errors: list = []
-    save_slots = _threading.Semaphore(4)
     save_stats = {"requested": 0, "written": 0, "coalesced": 0}
 
     def _has_pinned_host() -> bool:
@@ -573,6 +571,37 @@ def _train_impl(
             return False
 
     pinned_host_ok = config.async_saves and _has_pinned_host()
+    async_on = config.async_saves
+    if async_on and not pinned_host_ok and jax.default_backend() == "tpu":
+        # Without a pinned_host space the snapshot fallback is a DEVICE
+        # copy, which pins ~params+opt in HBM — measured to OOM a 16 GB
+        # chip at cosmetics scale next to the 6 GB B_ii (round 3). On TPU
+        # that trade is never worth it: fall back to synchronous saves and
+        # say so. (CPU keeps the copy fallback — host RAM is plentiful and
+        # the tests exercise the async writer there.)
+        async_on = False
+        log(
+            {
+                "msg": (
+                    "async_saves: no pinned_host memory space on this TPU "
+                    "backend — falling back to SYNCHRONOUS saves (a device-"
+                    "side snapshot would risk OOM at scale)"
+                )
+            }
+        )
+    elif async_on:
+        log(
+            {
+                "msg": (
+                    "async saves: "
+                    + (
+                        "pinned_host snapshots (zero extra HBM)"
+                        if pinned_host_ok
+                        else "device/host-copy snapshots (no pinned_host)"
+                    )
+                )
+            }
+        )
     # Big leaves are snapshotted as a LIST of row bands: the writer then
     # reads them back piece by piece, so its bulk transfer cannot head-of-
     # line-block other link traffic (measured: an unbanded 1.8 GB readback
@@ -612,54 +641,48 @@ def _train_impl(
         return jax.tree.map(one, tree, is_leaf=lambda x: isinstance(x, list))
 
     def _writer():
-        stop = False
-        while not stop:
-            batch = [save_q.get()]
-            try:  # drain whatever queued while the last readback ran
-                while True:
-                    batch.append(save_q.get_nowait())
-            except _queue.Empty:
-                pass
-            if batch[-1] is None:
-                stop = True
-                batch.pop()
-                save_q.task_done()  # the sentinel's own get
-            # Keep only the NEWEST job per checkpoint name.
-            latest = {}
-            for j, (_, _, targets) in enumerate(batch):
-                for name, _kw in targets:
-                    latest[name] = j
+        while True:
+            with save_cv:
+                while not save_box and not save_stop[0]:
+                    save_cv.wait()
+                if not save_box and save_stop[0]:
+                    return
+                items = dict(save_box)
+                save_box.clear()
+                save_busy[0] = True
             try:
-                for j, (snap_p, snap_o, targets) in enumerate(batch):
-                    mine = [
-                        (name, kw) for name, kw in targets if latest[name] == j
-                    ]
-                    if not mine:  # superseded: free snapshot, skip readback
-                        save_stats["coalesced"] += len(targets)
-                        continue
-                    host_p = _read_back(snap_p)  # one (banded) readback
-                    host_o = _read_back(snap_o)
-                    for name, kw in mine:
+                # Names saved from the same do_save share one snapshot —
+                # group so BEST+LAST of an improving epoch read back ONCE.
+                groups: dict = {}
+                for name, (sid, sp, so, kw) in items.items():
+                    groups.setdefault(sid, (sp, so, []))[2].append((name, kw))
+                for sid, (sp, so, names) in groups.items():
+                    host_p = _read_back(sp)  # one (banded) readback
+                    host_o = _read_back(so)
+                    for name, kw in names:
                         save_checkpoint(
                             config.checkpoint_dir, host_p, host_o,
                             hyperparams=config.hyperparams(), name=name, **kw,
                         )
                         save_stats["written"] += 1
-                    save_stats["coalesced"] += len(targets) - len(mine)
                     del host_p, host_o
             except Exception as e:  # surfaced by the next do_save/flush
                 save_errors.append(e)
             finally:
-                for j in range(len(batch)):
-                    batch[j] = None  # free remaining snapshot refs
-                    save_slots.release()
-                    save_q.task_done()
+                with save_cv:
+                    save_busy[0] = False
+                    save_cv.notify_all()
+
+    def _stop_saver():
+        with save_cv:
+            save_stop[0] = True
+            save_cv.notify_all()
 
     saver = None
-    if config.async_saves:
+    if async_on:
         saver = _threading.Thread(target=_writer, daemon=True, name="ckpt-writer")
         saver.start()
-        _state["stop_saver"] = lambda: save_q.put(None)
+        _state["stop_saver"] = _stop_saver
 
     def _raise_save_errors():
         if save_errors:
@@ -670,7 +693,8 @@ def _train_impl(
     def do_save(params_t, opt_t, targets):
         """Write (params_t, opt_t) to every (name, meta-kwargs) in targets —
         one snapshot + one readback regardless of how many names share it
-        (an improving epoch writes BEST and LAST from the same state)."""
+        (an improving epoch writes BEST and LAST from the same state).
+        Never blocks: a save still in the mailbox is simply replaced."""
         if saver is None:
             for name, kw in targets:
                 save_checkpoint(
@@ -678,17 +702,25 @@ def _train_impl(
                     hyperparams=config.hyperparams(), name=name, **kw,
                 )
             return
-        save_slots.acquire()  # blocks only when 4 snapshots are in flight
         _raise_save_errors()  # surface failures EARLY, not at end of run
         save_stats["requested"] += len(targets)
         snap = (_snapshot(params_t), _snapshot(opt_t))
         # Await the DMA (fast) so the next step may donate the live buffers.
         jax.block_until_ready(snap)
-        save_q.put((snap[0], snap[1], targets))
+        with save_cv:
+            save_seq[0] += 1
+            sid = save_seq[0]
+            for name, kw in targets:
+                if name in save_box:  # superseded before it was written
+                    save_stats["coalesced"] += 1
+                save_box[name] = (sid, snap[0], snap[1], kw)
+            save_cv.notify_all()
 
     def flush_saves():
         if saver is not None:
-            save_q.join()
+            with save_cv:
+                while save_box or save_busy[0]:
+                    save_cv.wait()
             _raise_save_errors()
 
     history = []
@@ -824,9 +856,15 @@ def _train_impl(
         # it for the final test eval.
         flush_saves()
         leaves, _ = load_checkpoint(config.checkpoint_dir, BEST_NAME)
-        params, opt_state = restore_into(params, opt_state, leaves)
-        # Checkpoint leaves are UNPADDED/unsharded; re-apply the run's row
-        # padding + sharding before compute_embedding touches the table.
+        # Checkpoints are written in the CHECKPOINT layout (ckpt_view:
+        # unpadded rows, unified table) — restore into templates in that
+        # same layout, then re-apply the run's padding/sharding/split
+        # before compute_embedding touches the table. Restoring into the
+        # RUN-layout templates would mis-map (or miscount) leaves under the
+        # fast edge partition's split params.
+        params, opt_state = restore_into(
+            ckpt_view(params), ckpt_view(opt_state), leaves
+        )
         params = post_restore(params)
     final_emb = compute_embedding(params)
     test_precision, test_recall = evaluate_bucketed(
@@ -847,7 +885,7 @@ def _train_impl(
     )
     flush_saves()  # drain the async writer; surfaces worker exceptions
     if saver is not None:
-        save_q.put(None)  # stop the worker thread
+        _stop_saver()  # stop the worker thread
         log(
             {
                 "msg": (

@@ -166,3 +166,26 @@ def test_driver_edge_fast_matches_slow_explicit(tmp_path):
     n_nodes = prep.n_users + prep.n_items
     assert leaves[0].shape[0] == n_nodes
     assert all("emb_users" not in p for p in meta["leaf_paths"])
+
+
+def test_driver_edge_fast_resume_never_beats_best(tmp_path):
+    """Code-review r4 finding: the final best-restore must use CHECKPOINT-
+    layout templates — under the fast edge partition the run's params are
+    the split {emb_users, emb_items} tree while checkpoints hold the unified
+    {embedding} layout, so restoring into run-layout templates crashed on
+    the leaf-count assert."""
+    from test_train_e2e import make_prepared
+    from gnn_ecommerce_tpu.train import TrainConfig, train
+
+    prep = make_prepared(seed=21)
+    base = dict(
+        latent_dim=8, n_layers=2, batch_size=128, batches_per_epoch=3,
+        checkpoint_dir=str(tmp_path), mesh_devices=8, partition="edge",
+        fast_bipartite="f32", heavy_users=16,
+    )
+    r1 = train(prep, TrainConfig(epochs=2, lr=0.02, **base), verbose=False)
+    r2 = train(
+        prep, TrainConfig(epochs=3, resume=True, lr=0.0, **base), verbose=False
+    )
+    assert r2.best_epoch == r1.best_epoch
+    assert r2.test_recall == pytest.approx(r1.test_recall, rel=1e-5)
