@@ -189,3 +189,37 @@ def test_driver_edge_fast_resume_never_beats_best(tmp_path):
     )
     assert r2.best_epoch == r1.best_epoch
     assert r2.test_recall == pytest.approx(r1.test_recall, rel=1e-5)
+
+
+def test_driver_edge_fast_bf16_mode(tmp_path):
+    """The benchmarked bf16 mode (B_ii + messages + heavy head stored bf16)
+    through the driver's edge+fast branch: runs, learns, and lands within
+    bf16 rounding of the exact f32 path."""
+    from test_train_e2e import make_prepared
+    from gnn_ecommerce_tpu.train import TrainConfig, train
+
+    prep = make_prepared(seed=23)
+    base = dict(
+        latent_dim=8, n_layers=2, epochs=2, batch_size=128,
+        batches_per_epoch=4, lr=0.02, mesh_devices=8, partition="edge",
+        heavy_users=16,
+    )
+    r16 = train(
+        prep,
+        TrainConfig(
+            checkpoint_dir=str(tmp_path / "bf16"), fast_bipartite="bf16",
+            **base,
+        ),
+        verbose=False,
+    )
+    r32 = train(
+        prep,
+        TrainConfig(
+            checkpoint_dir=str(tmp_path / "f32"), fast_bipartite="f32", **base
+        ),
+        verbose=False,
+    )
+    assert np.isfinite(r16.history[-1]["loss"])
+    # Same trajectory up to bf16 rounding (one rounding per message/term).
+    assert r16.best_val_recall == pytest.approx(r32.best_val_recall, abs=0.05)
+    assert abs(r16.history[-1]["loss"] - r32.history[-1]["loss"]) < 0.02
