@@ -158,9 +158,17 @@ def roofline_accounting(fb, params, t_fast, step_s):
     x_users = jax.jit(lambda e: e[:N_USERS].astype(jnp.float32))(E)
     x_items = jax.jit(lambda e: e[N_USERS:].astype(jnp.float32))(E)
 
-    # --- measured phase times (each jitted alone) ---
-    t_ti = timeit(jax.jit(fast_to_items), x_users, fops, reps=5)
-    t_tu = timeit(jax.jit(fast_to_users), x_items, fops, reps=5)
+    # Per-call overhead (dispatch + tunnel scalar readback, ~15-25 ms here)
+    # dominates small standalone phases; measure it with a no-op program and
+    # subtract from every phase timing.
+    t_call = timeit(jax.jit(lambda x: x + 1.0), x_items, reps=5)
+
+    def net(t):
+        return max(t - t_call, 1e-5) if t is not None else None
+
+    # --- measured phase times (each jitted alone, overhead-netted) ---
+    t_ti = net(timeit(jax.jit(fast_to_items), x_users, fops, reps=5))
+    t_tu = net(timeit(jax.jit(fast_to_users), x_items, fops, reps=5))
 
     plan = fops.items_plan
     if isinstance(plan, BucketedSegReducePlan):
@@ -173,10 +181,10 @@ def roofline_accounting(fb, params, t_fast, step_s):
         n_chunks = int(plan.tile_map.shape[0])
         ot = plan.ot
         tbl16 = jax.jit(lambda e: e[:N_USERS].astype(jnp.bfloat16))(E)
-        t_gather = timeit(
+        t_gather = net(timeit(
             jax.jit(lambda t, ix: jnp.take(t, ix, axis=0)), tbl16, plan.gidx,
             reps=5,
-        )
+        ))
 
     t_head = None
     if fops.w_hi is not None:
@@ -184,14 +192,14 @@ def roofline_accounting(fb, params, t_fast, step_s):
         xh = jax.jit(
             lambda x, ids: jnp.take(x, ids, axis=0).astype(fops.w_hi.dtype)
         )(x_users, fops.hi_ids)
-        t_head = timeit(
+        t_head = net(timeit(
             jax.jit(
                 lambda W, x: jnp.dot(
                     W, x, preferred_element_type=jnp.float32
                 )
             ),
             fops.w_hi, xh, reps=5,
-        )
+        ))
     else:
         K = 0
 
@@ -215,7 +223,7 @@ def roofline_accounting(fb, params, t_fast, step_s):
                 l += 1
         return out
 
-    t_chain = timeit(jax.jit(chain_only), fb.item_op, x_items, reps=5)
+    t_chain = net(timeit(jax.jit(chain_only), fb.item_op, x_items, reps=5))
 
     ell_rows = int(sum(ix.size for ix in fops.users_ell.idx))
     bw = HBM_GBPS * 1e9
@@ -255,9 +263,11 @@ def roofline_accounting(fb, params, t_fast, step_s):
         ),
         "to_items_pallas_reduce": phase(
             rows_g * D * 2 + n_chunks * ot * D * 4 * 2,
-            measured=(t_ti - (t_gather or 0.0) - (t_head or 0.0))
-            if t_gather is not None
-            else None,
+            measured=(lambda d: d if d and d > 0 else None)(
+                (t_ti - (t_gather or 0.0) - (t_head or 0.0))
+                if t_gather is not None
+                else None
+            ),
         ),
         "heavy_head_per_direction": phase(
             head_bytes,
@@ -298,6 +308,7 @@ def roofline_accounting(fb, params, t_fast, step_s):
     ) / 1e3 + adam_bytes / bw
     return {
         "assumptions": {
+            "per_call_overhead_ms_netted": round(t_call * 1e3, 2),
             "hbm_GBps": HBM_GBPS,
             "mxu_bf16_tflops": MXU_BF16_TFLOPS,
             "descriptor_ns_per_row_big_table": DESC_S_PER_ROW_BIG * 1e9,
