@@ -27,12 +27,15 @@ from serve_scale_r3 import ensure_prepared  # noqa: E402  (same corpus)
 
 WINDOW_S = 20.0
 CLIENTS = 8
-BATCH = 64
+BATCH = 64          # the round-3 protocol: already-big requests
+SMALL_CLIENTS = 16  # the TorchServe-batching regime: many tiny requests
+SMALL_BATCH = 4
 CKPT_R4 = "/root/repo/model-checkpoints/full_r4"
 CKPT_R3 = "/root/repo/model-checkpoints/full_r3"
 
 
-def run_load(port: int, n_users: int, label: str) -> dict:
+def run_load(port: int, n_users: int, label: str, clients: int = CLIENTS,
+             batch: int = BATCH) -> dict:
     url = f"http://127.0.0.1:{port}/v1/models/lightgcn_recommender:predict"
 
     def call(ids):
@@ -44,8 +47,8 @@ def run_load(port: int, n_users: int, label: str) -> dict:
             return json.loads(resp.read())
 
     rng0 = np.random.default_rng(0)
-    for _ in range(3):  # warm the buckets (compile) + the batcher path
-        call(rng0.integers(0, n_users, BATCH))
+    for _ in range(3):  # warm this workload's path end-to-end
+        call(rng0.integers(0, n_users, batch))
 
     lat_lock = threading.Lock()
     latencies: list = []
@@ -55,12 +58,12 @@ def run_load(port: int, n_users: int, label: str) -> dict:
         rng = np.random.default_rng(seed)
         while time.perf_counter() < stop:
             t0 = time.perf_counter()
-            call(rng.integers(0, n_users, BATCH))
+            call(rng.integers(0, n_users, batch))
             dt = time.perf_counter() - t0
             with lat_lock:
                 latencies.append(dt)
 
-    threads = [threading.Thread(target=client, args=(s,)) for s in range(CLIENTS)]
+    threads = [threading.Thread(target=client, args=(s,)) for s in range(clients)]
     t_start = time.perf_counter()
     for t in threads:
         t.start()
@@ -70,12 +73,12 @@ def run_load(port: int, n_users: int, label: str) -> dict:
     lat = np.sort(np.array(latencies))
     out = {
         "label": label,
-        "clients": CLIENTS,
-        "batch": BATCH,
+        "clients": clients,
+        "batch": batch,
         "window_s": round(wall, 1),
         "requests": len(lat),
         "requests_per_s": round(len(lat) / wall, 1),
-        "users_per_s": round(len(lat) * BATCH / wall, 1),
+        "users_per_s": round(len(lat) * batch / wall, 1),
         "latency_ms": {
             "p50": round(float(lat[len(lat) // 2]) * 1e3, 1),
             "p90": round(float(lat[int(len(lat) * 0.9)]) * 1e3, 1),
@@ -115,37 +118,79 @@ def main():
         "load_s": round(load_s, 1),
     }
 
-    # Unbatched baseline (same as round 3, re-measured under this checkpoint).
+    # Warm EVERY batch bucket before any timed window: the batcher coalesces
+    # into the 512 bucket, and a first-touch remote compile (~10-60 s through
+    # the tunnel) inside the window poisons p99 (measured: 10.8 s).
+    t0 = time.perf_counter()
+    for b in (1, 8, 64, 512):
+        svc.recommend(np.arange(b, dtype=np.int64) % n_users)
+    results["bucket_warmup_s"] = round(time.perf_counter() - t0, 1)
+    print(f"buckets warmed in {results['bucket_warmup_s']}s", flush=True)
+
+    # Interleaved A/B/A/B windows: tunnel conditions drift minute to minute
+    # (absolute latencies varied 2x between earlier runs), so unbatched and
+    # batched alternate and each aggregates two windows.
     httpd = make_server(svc, port=0)
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
-    results["unbatched"] = run_load(port, n_users, "unbatched")
-    httpd.shutdown()
-
-    # Cross-request batching (the serving CLI's default).
     batcher = BatchingRecommender(svc, max_wait_s=0.004)
     httpd2 = make_server(batcher, port=0)
     port2 = httpd2.server_address[1]
     threading.Thread(target=httpd2.serve_forever, daemon=True).start()
-    results["batched"] = run_load(port2, n_users, "batched")
+
+    runs = []
+    # Two workloads, interleaved A/B/A/B within each (tunnel drift control):
+    # big requests (batch 64: the batcher BYPASSES by design — expect
+    # parity) and small requests (16 clients x batch 4: the TorchServe
+    # maxBatchDelay regime batching exists for).
+    for phase in ("big-unbatched", "big-batched", "big-unbatched",
+                  "big-batched"):
+        p = port if "unbatched" in phase else port2
+        runs.append(run_load(p, n_users, phase))
+    for phase in ("small-unbatched", "small-batched", "small-unbatched",
+                  "small-batched"):
+        p = port if "unbatched" in phase else port2
+        runs.append(
+            run_load(p, n_users, phase, clients=SMALL_CLIENTS,
+                     batch=SMALL_BATCH)
+        )
+    httpd.shutdown()
+    httpd2.shutdown()
     m = batcher.metrics()
-    results["batched"]["batcher"] = {
+    results["windows"] = runs
+    results["batcher"] = {
         k: m[k]
         for k in ("batches_total", "batched_requests_total",
                   "users_per_batch_avg")
     }
-    httpd2.shutdown()
 
-    b, u = results["batched"], results["unbatched"]
-    results["summary"] = {
-        "p99_ms_unbatched": u["latency_ms"]["p99"],
-        "p99_ms_batched": b["latency_ms"]["p99"],
-        "users_per_s_unbatched": u["users_per_s"],
-        "users_per_s_batched": b["users_per_s"],
-        "target_met": bool(
-            b["latency_ms"]["p99"] < 150.0 and b["users_per_s"] >= 3100.0
-        ),
-    }
+    def agg(label, batch):
+        sel = [r for r in runs if r["label"] == label]
+        wall = sum(r["window_s"] for r in sel)
+        return {
+            "users_per_s": round(sum(r["requests"] * batch for r in sel) / wall, 1),
+            "p50_ms": round(float(np.mean([r["latency_ms"]["p50"] for r in sel])), 1),
+            "p90_ms": round(float(np.mean([r["latency_ms"]["p90"] for r in sel])), 1),
+            "p99_ms": round(float(np.mean([r["latency_ms"]["p99"] for r in sel])), 1),
+            "requests": sum(r["requests"] for r in sel),
+        }
+
+    summary = {}
+    for wl, batch in (("big", BATCH), ("small", SMALL_BATCH)):
+        u = agg(f"{wl}-unbatched", batch)
+        b = agg(f"{wl}-batched", batch)
+        results[f"{wl}_unbatched"], results[f"{wl}_batched"] = u, b
+        summary[wl] = {
+            "p99_ms_unbatched": u["p99_ms"],
+            "p99_ms_batched": b["p99_ms"],
+            "users_per_s_unbatched": u["users_per_s"],
+            "users_per_s_batched": b["users_per_s"],
+            "p99_improvement": round(u["p99_ms"] / max(b["p99_ms"], 1e-9), 2),
+            "throughput_improvement": round(
+                b["users_per_s"] / max(u["users_per_s"], 1e-9), 2
+            ),
+        }
+    results["summary"] = summary
     print(json.dumps(results["summary"], indent=2), flush=True)
     with open("/root/repo/SERVE_r4.json", "w") as f:
         json.dump(results, f, indent=2)
