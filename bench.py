@@ -164,7 +164,11 @@ def roofline_accounting(fb, params, t_fast, step_s):
     t_call = timeit(jax.jit(lambda x: x + 1.0), x_items, reps=5)
 
     def net(t):
-        return max(t - t_call, 1e-5) if t is not None else None
+        if t is None:
+            return None
+        d = t - t_call
+        # Below measurement resolution (call-overhead jitter): unusable.
+        return d if d > 5e-4 else None
 
     # --- measured phase times (each jitted alone, overhead-netted) ---
     t_ti = net(timeit(jax.jit(fast_to_items), x_users, fops, reps=5))
@@ -265,7 +269,7 @@ def roofline_accounting(fb, params, t_fast, step_s):
             rows_g * D * 2 + n_chunks * ot * D * 4 * 2,
             measured=(lambda d: d if d and d > 0 else None)(
                 (t_ti - (t_gather or 0.0) - (t_head or 0.0))
-                if t_gather is not None
+                if t_gather is not None and t_ti is not None
                 else None
             ),
         ),
@@ -277,7 +281,9 @@ def roofline_accounting(fb, params, t_fast, step_s):
         "to_users_ell": phase(
             ell_rows * (D * 2 + 8) + N_USERS * D * 4,
             desc_s=ell_rows * DESC_S_PER_ROW_SMALL,
-            measured=(t_tu - (t_head or 0.0)) if t_head is not None else t_tu,
+            measured=(lambda d: d if d and d > 0 else None)(
+                (t_tu - (t_head or 0.0)) if t_head is not None else t_tu
+            ),
         ),
         "b_ii_chain": phase(
             n_streams_fwd * fb.item_op.size * 2
@@ -287,6 +293,7 @@ def roofline_accounting(fb, params, t_fast, step_s):
         ),
     }
 
+    t_fast_net = net(t_fast) or t_fast  # same basis as the netted phases
     fwd_floor_s = (
         phases["to_items_gather"]["floor_ms"]
         + phases["to_items_pallas_reduce"]["floor_ms"]
@@ -317,10 +324,11 @@ def roofline_accounting(fb, params, t_fast, step_s):
         "phases": phases,
         "forward": {
             "measured_ms": round(t_fast * 1e3, 2),
+            "measured_ms_net_of_call_overhead": round(t_fast_net * 1e3, 2),
             "floor_ms": round(fwd_floor_s * 1e3, 2),
-            "pct_of_floor": round(100 * fwd_floor_s / t_fast, 1),
+            "pct_of_floor": round(100 * fwd_floor_s / t_fast_net, 1),
             "phase_sum_measured_ms": round(
-                (t_ti + t_tu + t_chain) * 1e3, 2
+                sum(x for x in (t_ti, t_tu, t_chain) if x) * 1e3, 2
             ),
         },
         "train_step": {

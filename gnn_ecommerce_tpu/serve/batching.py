@@ -6,14 +6,19 @@ requests were queueing on the device call instead of coalescing. TorchServe
 (the parity target) batches per worker with a ``maxBatchDelay``
 (``torchserve/config.properties``); this module is that, TPU-shaped:
 
-- request threads validate their ids, enqueue, and block on an event;
-- one collector thread gathers everything queued within a short linger
-  window (or until the largest compiled batch bucket is full), issues ONE
-  device call on the concatenated ids, and scatters rows back per request.
+- SMALL requests (< ``solo_min`` users) validate their ids, enqueue, and
+  block on an event; ``parallelism`` worker threads each gather whatever
+  queued within a short linger window (or until the largest compiled batch
+  bucket fills), issue one device call on the concatenated ids, and
+  scatter rows back per request — consecutive coalesced calls pipeline on
+  the device instead of serializing behind a single collector;
+- LARGE requests bypass the collector entirely: the device runtime already
+  pipelines concurrent big calls, and coalescing them measured WORSE
+  (SERVE_r4.json — see the class docstring).
 
-One device call per window amortizes the fixed dispatch + tunnel latency
-across every rider; the linger adds at most ``max_wait_s`` (default 4 ms)
-to an idle request — noise next to the device call itself.
+Coalescing amortizes the fixed dispatch + tunnel latency across every
+rider; the linger adds at most ``max_wait_s`` (default 4 ms) to an idle
+request — noise next to the device call itself.
 """
 from __future__ import annotations
 
@@ -65,16 +70,23 @@ class BatchingRecommender:
         self.max_wait_s = max_wait_s
         self.max_users = max_users or max(service.BATCH_BUCKETS)
         self.solo_min = solo_min
-        self._dispatch_slots = threading.Semaphore(max(parallelism, 1))
         self._cond = threading.Condition()
         self._pending: list[_Pending] = []
+        self._stats_lock = threading.Lock()  # dispatches run concurrently
         self._batches = 0
         self._batched_users = 0
         self._batched_requests = 0
-        self._worker = threading.Thread(
-            target=self._loop, daemon=True, name="serve-batcher"
-        )
-        self._worker.start()
+        # Fixed worker pool: each worker loops take_batch -> dispatch, so up
+        # to `parallelism` coalesced device calls are in flight (no
+        # per-batch thread churn, no semaphore leak path).
+        self._workers = [
+            threading.Thread(
+                target=self._loop, daemon=True, name=f"serve-batcher-{i}"
+            )
+            for i in range(max(parallelism, 1))
+        ]
+        for w in self._workers:
+            w.start()
 
     # -- request side -------------------------------------------------------
     def recommend(self, user_ids, k: int | None = None) -> np.ndarray:
@@ -128,15 +140,13 @@ class BatchingRecommender:
 
     def _loop(self):
         while True:
-            batch = self._take_batch()
-            self._dispatch_slots.acquire()
-            threading.Thread(
-                target=self._dispatch, args=(batch,), daemon=True
-            ).start()
+            self._dispatch(self._take_batch())
 
     def _dispatch(self, batch):
-        ids = np.concatenate([p.ids for p in batch])
+        n_users = 0
         try:
+            ids = np.concatenate([p.ids for p in batch])
+            n_users = len(ids)
             out = self.service.recommend(ids)
             lo = 0
             for p in batch:
@@ -146,25 +156,27 @@ class BatchingRecommender:
             for p in batch:
                 p.error = e
         finally:
-            self._dispatch_slots.release()
-            self._batches += 1
-            self._batched_users += len(ids)
-            self._batched_requests += len(batch)
+            with self._stats_lock:
+                self._batches += 1
+                self._batched_users += n_users
+                self._batched_requests += len(batch)
             for p in batch:
                 p.event.set()
 
     # -- passthroughs -------------------------------------------------------
     def metrics(self) -> dict:
         m = self.service.metrics()
+        with self._stats_lock:
+            batches, reqs, users = (
+                self._batches, self._batched_requests, self._batched_users
+            )
         m.update(
             {
-                "batches_total": self._batches,
-                "batched_requests_total": self._batched_requests,
-                "batched_users_total": self._batched_users,
-                "users_per_batch_avg": round(
-                    self._batched_users / self._batches, 3
-                )
-                if self._batches
+                "batches_total": batches,
+                "batched_requests_total": reqs,
+                "batched_users_total": users,
+                "users_per_batch_avg": round(users / batches, 3)
+                if batches
                 else 0.0,
             }
         )

@@ -85,6 +85,11 @@ class RecommenderService:
             for b in self.BATCH_BUCKETS:
                 self.recommend(np.zeros((b,), dtype=np.int64))
             self.warmup_s = time.perf_counter() - t0
+            # Warmup calls (incl. multi-second remote compiles) must not
+            # pollute the serving metrics counters.
+            with self._lock:
+                self._req_count = self._user_count = 0
+                self._req_seconds = 0.0
 
     @classmethod
     def from_artifacts(

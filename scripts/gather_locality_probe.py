@@ -81,10 +81,14 @@ def main():
     results = {"n_rows": N_ROWS, "n_idx": N_IDX, "dim": D,
                "hot16k_share_of_zipf_stream": round(head_share, 4)}
     for name, ids in idx_sets.items():
+        # The tail survivor pool shrinks with steeper zipf exponents; always
+        # divide by the ACTUAL gathered count.
+        assert len(ids) >= N_IDX // 2, (name, len(ids))
         dev = jnp.asarray(ids, jnp.int32)  # ~32 MB upload each
         jax.block_until_ready(dev)
         t = timeit(take, table, dev)
-        results[name] = {"s": t, "ns_per_row": round(1e9 * t / N_IDX, 2)}
+        results[name] = {"s": t, "n": int(len(ids)),
+                         "ns_per_row": round(1e9 * t / len(ids), 2)}
         print(f"{name}: {t*1e3:.1f} ms = {results[name]['ns_per_row']} ns/row",
               flush=True)
         del dev

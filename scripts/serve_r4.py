@@ -54,11 +54,18 @@ def run_load(port: int, n_users: int, label: str, clients: int = CLIENTS,
     latencies: list = []
     stop = time.perf_counter() + WINDOW_S
 
+    errors = [0]
+
     def client(seed):
         rng = np.random.default_rng(seed)
         while time.perf_counter() < stop:
             t0 = time.perf_counter()
-            call(rng.integers(0, n_users, batch))
+            try:
+                call(rng.integers(0, n_users, batch))
+            except Exception:
+                with lat_lock:
+                    errors[0] += 1
+                continue  # a failed request must not kill the client thread
             dt = time.perf_counter() - t0
             with lat_lock:
                 latencies.append(dt)
@@ -71,12 +78,20 @@ def run_load(port: int, n_users: int, label: str, clients: int = CLIENTS,
         t.join()
     wall = time.perf_counter() - t_start
     lat = np.sort(np.array(latencies))
+    if len(lat) == 0:  # e.g. a tunnel outage wedged the whole window
+        out = {"label": label, "clients": clients, "batch": batch,
+               "window_s": round(wall, 1), "requests": 0, "errors": errors[0],
+               "requests_per_s": 0.0, "users_per_s": 0.0,
+               "latency_ms": {"p50": None, "p90": None, "p99": None}}
+        print(json.dumps(out), flush=True)
+        return out
     out = {
         "label": label,
         "clients": clients,
         "batch": batch,
         "window_s": round(wall, 1),
         "requests": len(lat),
+        "errors": errors[0],
         "requests_per_s": round(len(lat) / wall, 1),
         "users_per_s": round(len(lat) * batch / wall, 1),
         "latency_ms": {
@@ -118,14 +133,10 @@ def main():
         "load_s": round(load_s, 1),
     }
 
-    # Warm EVERY batch bucket before any timed window: the batcher coalesces
-    # into the 512 bucket, and a first-touch remote compile (~10-60 s through
-    # the tunnel) inside the window poisons p99 (measured: 10.8 s).
-    t0 = time.perf_counter()
-    for b in (1, 8, 64, 512):
-        svc.recommend(np.arange(b, dtype=np.int64) % n_users)
-    results["bucket_warmup_s"] = round(time.perf_counter() - t0, 1)
-    print(f"buckets warmed in {results['bucket_warmup_s']}s", flush=True)
+    # All batch buckets are compiled by the service's own warmup now
+    # (RecommenderService warm=True, added after the first-touch compile of
+    # the 512 bucket inside a window measured p99 = 10.8 s).
+    results["bucket_warmup_s"] = round(getattr(svc, "warmup_s", 0.0), 1)
 
     # Interleaved A/B/A/B windows: tunnel conditions drift minute to minute
     # (absolute latencies varied 2x between earlier runs), so unbatched and
