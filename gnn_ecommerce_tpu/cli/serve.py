@@ -40,6 +40,11 @@ def main(argv=None):
         "--batch-delay-ms", type=float, default=4.0,
         help="batching linger window (TorchServe maxBatchDelay analog)",
     )
+    ap.add_argument(
+        "--batch-solo-min", type=int, default=32,
+        help="requests with at least this many users bypass the batcher "
+             "(they are already efficient device batches — SERVE_r4.json)",
+    )
     args = ap.parse_args(argv)
 
     print("loading artifacts + propagating embeddings ...")
@@ -49,7 +54,8 @@ def main(argv=None):
     )
     if not args.no_batching:
         service = BatchingRecommender(
-            service, max_wait_s=args.batch_delay_ms / 1e3
+            service, max_wait_s=args.batch_delay_ms / 1e3,
+            solo_min=args.batch_solo_min,
         )
     print(f"ready ({service.stats()})")
     serve_forever(service, args.host, args.port)
