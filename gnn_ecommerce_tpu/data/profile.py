@@ -74,6 +74,18 @@ def _svg_bars(counts, labels, width=420, height=120) -> str:
     n = len(counts)
     if n == 0 or max(counts) == 0:
         return "<svg class='chart' width='420' height='24'></svg>"
+    # More bars than the fixed viewBox can hold (2px bars + 2px gaps ->
+    # ~105) would silently clip off the right edge; aggregate adjacent
+    # bins instead (e.g. a 10-year monthly datetime histogram).
+    max_bars = 96
+    if n > max_bars:
+        k = -(-n // max_bars)
+        counts = [sum(counts[i : i + k]) for i in range(0, n, k)]
+        labels = [
+            f"{labels[i]} … {labels[min(i + k, n) - 1]}"
+            for i in range(0, n, k)
+        ]
+        n = len(counts)
     peak = max(counts)
     gap = 2
     bw = max(2, (width - gap * (n - 1)) // n)

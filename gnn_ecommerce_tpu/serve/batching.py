@@ -92,15 +92,11 @@ class BatchingRecommender:
     def recommend(self, user_ids, k: int | None = None) -> np.ndarray:
         if k is not None and k != self.service.k:
             return self.service.recommend(user_ids, k=k)  # solo path
-        ids = np.asarray(user_ids, dtype=np.int64)
-        if ids.ndim != 1:
-            raise ValueError(f"user_ids must be 1-D, got shape {ids.shape}")
-        n_users = self.service.prepared.n_users
-        if ((ids < 0) | (ids >= n_users)).any():
-            # Validate BEFORE enqueueing: a bad id must fail only its own
-            # request, never a shared batch.
-            bad = ids[(ids < 0) | (ids >= n_users)]
-            raise ValueError(f"user ids out of range [0, {n_users}): {bad[:5]}")
+        # Validate BEFORE enqueueing (shared definition with the service):
+        # a bad id must fail only its own request, never a shared batch.
+        from .service import validate_user_ids
+
+        ids = validate_user_ids(user_ids, self.service.prepared.n_users)
         if len(ids) >= self.solo_min:
             return self.service.recommend(ids)  # already an efficient batch
         p = _Pending(ids, None)
@@ -109,34 +105,46 @@ class BatchingRecommender:
             self._cond.notify()
         p.event.wait()
         if p.error is not None:
-            raise p.error
+            # Fresh exception per rider: concurrently re-raising the ONE
+            # shared instance from several handler threads races on its
+            # __traceback__ and garbles the logged stacks.
+            raise RuntimeError(
+                f"batched request failed: "
+                f"{type(p.error).__name__}: {p.error}"
+            ) from p.error
         return p.result
 
     # -- collector side -----------------------------------------------------
     def _take_batch(self) -> list[_Pending]:
         with self._cond:
-            while not self._pending:
-                self._cond.wait()
-            # Linger anchored to the OLDEST request's arrival: leftovers
-            # from a capacity-cut batch (or requests that queued during the
-            # previous device call) have already aged past the window and
-            # dispatch immediately instead of paying a fresh linger.
-            deadline = self._pending[0].t_enq + self.max_wait_s
             while True:
-                total = sum(len(p.ids) for p in self._pending)
-                remaining = deadline - time.perf_counter()
-                if total >= self.max_users or remaining <= 0:
-                    break
-                self._cond.wait(timeout=remaining)
-            # Take whole requests up to the bucket cap (never split one).
-            batch, total = [], 0
-            for p in self._pending:
-                if batch and total + len(p.ids) > self.max_users:
-                    break
-                batch.append(p)
-                total += len(p.ids)
-            del self._pending[: len(batch)]
-            return batch
+                while not self._pending:
+                    self._cond.wait()
+                # Linger anchored to the OLDEST request's arrival: leftovers
+                # from a capacity-cut batch (or requests that queued during
+                # the previous device call) have already aged past the
+                # window and dispatch immediately instead of paying a fresh
+                # linger.
+                deadline = self._pending[0].t_enq + self.max_wait_s
+                while self._pending:
+                    total = sum(len(p.ids) for p in self._pending)
+                    remaining = deadline - time.perf_counter()
+                    if total >= self.max_users or remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
+                if not self._pending:
+                    # Another worker drained the list while this one
+                    # lingered — never hand an empty batch to dispatch.
+                    continue
+                # Take whole requests up to the cap (never split one).
+                batch, total = [], 0
+                for p in self._pending:
+                    if batch and total + len(p.ids) > self.max_users:
+                        break
+                    batch.append(p)
+                    total += len(p.ids)
+                del self._pending[: len(batch)]
+                return batch
 
     def _loop(self):
         while True:

@@ -25,6 +25,19 @@ from ..models.lightgcn import LightGCNConfig, get_embedding, init_params
 from ..train.checkpoint import BEST_NAME, load_checkpoint
 
 
+def validate_user_ids(user_ids, n_users: int) -> np.ndarray:
+    """Coerce + validate request user ids (shared by the service and the
+    batcher, which must reject bad ids BEFORE they can join a shared
+    batch — one definition so the two paths cannot drift)."""
+    ids = np.asarray(user_ids, dtype=np.int64)
+    if ids.ndim != 1:
+        raise ValueError(f"user_ids must be 1-D, got shape {ids.shape}")
+    if ((ids < 0) | (ids >= n_users)).any():
+        bad = ids[(ids < 0) | (ids >= n_users)]
+        raise ValueError(f"user ids out of range [0, {n_users}): {bad[:5]}")
+    return ids
+
+
 class RecommenderService:
     """Holds cached final embeddings + per-user purchased-item masks.
 
@@ -185,12 +198,7 @@ class RecommenderService:
         """
         t_req = time.perf_counter()
         k = k or self.k
-        ids = np.asarray(user_ids, dtype=np.int64)
-        if ids.ndim != 1:
-            raise ValueError(f"user_ids must be 1-D, got shape {ids.shape}")
-        if ((ids < 0) | (ids >= self.prepared.n_users)).any():
-            bad = ids[(ids < 0) | (ids >= self.prepared.n_users)]
-            raise ValueError(f"user ids out of range [0, {self.prepared.n_users}): {bad[:5]}")
+        ids = validate_user_ids(user_ids, self.prepared.n_users)
         # Pad the batch up to a bucket (duplicating user 0) so post-warmup
         # requests reuse compiled programs; slice back before returning.
         n = len(ids)

@@ -89,20 +89,28 @@ def load_checkpoint(directory: str, name: str = BEST_NAME) -> tuple[list, dict]:
     Validates meta's recorded npz sha256 (when present — older checkpoints
     predate it) so a save interrupted between the npz and meta renames fails
     loudly here instead of silently resuming under the wrong metadata.
-    A mismatch is retried: a CONCURRENT save (serving refresh while training
-    writes every epoch) can legally replace the npz while this reader is
-    hashing the old one — re-reading meta+npz lands on a consistent pair;
-    only a persistent mismatch (a genuinely torn pair on disk) raises."""
+    The hash is computed over the EXACT bytes that are then loaded (one
+    read into memory) — hashing the file and then re-opening it would let a
+    concurrent save swap the npz in between, reattributing new weights to
+    stale metadata. A mismatch is retried: a CONCURRENT save (serving
+    refresh while training writes every epoch) can legally replace the npz
+    while this reader holds the old meta — re-reading lands on a consistent
+    pair; only a persistent mismatch (a genuinely torn pair on disk)
+    raises."""
+    import io
+
     path = os.path.join(directory, name)
     npz_path = os.path.join(path, "checkpoint.npz")
-    have = want = None
+    have = want = blob = None
     for _ in range(3):
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         want = meta.get("npz_sha256")
+        with open(npz_path, "rb") as f:
+            blob = f.read()
         if want is None:
             break
-        have = _file_sha256(npz_path)
+        have = hashlib.sha256(blob).hexdigest()
         if have == want:
             break
     else:
@@ -112,7 +120,7 @@ def load_checkpoint(directory: str, name: str = BEST_NAME) -> tuple[list, dict]:
             "interrupted between the weights and metadata writes; delete "
             "this checkpoint dir or restore the matching pair"
         )
-    data = np.load(npz_path)
+    data = np.load(io.BytesIO(blob))
     leaves = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
     return leaves, meta
 

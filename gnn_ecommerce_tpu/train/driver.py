@@ -528,19 +528,19 @@ def _train_impl(
     # back through the slow link ONCE and writes every target checkpoint
     # dir from it, overlapped with the next epoch's device compute.
     # Platforms without a pinned_host space (CPU tests) fall back to a
-    # device-side copy. The writer is WRITE-BEHIND WITH COALESCING: before
-    # processing, it drains everything queued and keeps only the NEWEST job
-    # per checkpoint name — a stale LAST (or BEST) superseded while the link
-    # was busy is dropped and its snapshot freed WITHOUT the slow readback.
-    # That makes every-epoch saves safe even when one readback takes longer
-    # than an epoch (measured: the tunnel can run at ~10 MB/s, ~3 epochs per
-    # 1.8 GB checkpoint at cosmetics scale): training never stalls, the
-    # on-disk checkpoint simply lags by at most one readback, which is the
-    # correct degradation for a LAST/BEST policy. Backpressure: at most 4
-    # snapshots in flight (bounds pinned-host RAM); beyond that do_save
-    # blocks. The daemon flag matters for failure behavior: if the device
-    # link dies mid-readback, process exit is not blocked on the stuck
-    # worker.
+    # device-side copy. The writer is WRITE-BEHIND WITH COALESCING (a
+    # latest-wins mailbox, one slot per checkpoint name): a stale LAST (or
+    # BEST) superseded while the link was busy is replaced in place and its
+    # snapshot freed WITHOUT the slow readback. That makes every-epoch
+    # saves safe even when one readback takes longer than an epoch
+    # (measured: the tunnel can run at ~10 MB/s, ~3 epochs per 1.8 GB
+    # checkpoint at cosmetics scale): training NEVER blocks on saves, the
+    # on-disk checkpoint simply lags by at most one readback — the correct
+    # degradation for a LAST/BEST policy. Outstanding snapshots are bounded
+    # by construction: one per distinct checkpoint name in the box, plus
+    # the one being read back. The daemon flag matters for failure
+    # behavior: if the device link dies mid-readback, process exit is not
+    # blocked on the stuck worker.
     import threading as _threading
 
     import jax.numpy as _jnp
