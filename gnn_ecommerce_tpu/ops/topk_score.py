@@ -30,8 +30,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_NEG = jnp.float32(-3.0e38)
+# A numpy scalar, NOT jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, which breaks any process that must call
+# jax.distributed.initialize() first (the multi-host bootstrap).
+_NEG = np.float32(-3.0e38)
 
 
 def _mask_scores(scores, mask_idx, mask_mode: str):

@@ -12,6 +12,7 @@ from .edge_partition import (
     make_explicit_fns,
     pad_params,
 )
+from .sharded_eval import make_sharded_eval_fn, sharded_evaluate
 from .edge_partition_fast import (
     FastEdgePartition,
     build_fast_edge_partition,
@@ -28,6 +29,8 @@ __all__ = [
     "mesh_factorization",
     "make_sharded_train_step",
     "make_sharded_fast_train_step",
+    "make_sharded_eval_fn",
+    "sharded_evaluate",
     "shard_fast_bipartite",
     "shard_graph",
     "shard_params",

@@ -64,6 +64,40 @@ def init_distributed(
     }
 
 
+def replicate_tree(tree, mesh):
+    """All-gather every leaf to a fully-replicated layout over ``mesh``.
+
+    Multi-host checkpoint prerequisite: a leaf sharded across PROCESSES is
+    not addressable from any one host (``np.asarray`` raises), so the
+    checkpoint writer first replicates the tree — one compiled all-gather
+    over ICI/DCN (the table fits one host comfortably: ~600 MB at cosmetics
+    scale) — after which every process holds full copies and process 0 can
+    write them. Single-process it is a cheap layout change.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = jax.jit(
+        lambda *ls: ls, out_shardings=tuple(rep for _ in leaves)
+    )(*leaves)
+    return jax.tree_util.tree_unflatten(treedef, list(out))
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-process synchronization point (no-op single-process).
+
+    Used around checkpoint reads in the multi-host train loop: process 0
+    writes the files, every process reads them back — a reader must not
+    race ahead of the writer on a shared filesystem.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def assert_cross_host_agreement(value, name: str = "metric", atol: float = 0.0):
     """Determinism guard (SURVEY.md §5: the race-detection analog): assert a
     scalar metric is identical across hosts. On a single host this is free;

@@ -38,6 +38,14 @@ def save_checkpoint(
     name: str = BEST_NAME,
 ) -> str:
     path = os.path.join(directory, name)
+    # Multi-host discipline: every process participates in gathering the
+    # leaves to host-addressable replicas (parallel.distributed.replicate_tree,
+    # applied by the driver's checkpoint view BEFORE this call), but only
+    # process 0 touches the filesystem — N processes writing the same files
+    # would tear the npz/meta pair. The reference is single-process
+    # (src/train_lightgcn.py:13); this is new multi-host scope.
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return path
     os.makedirs(path, exist_ok=True)
     with_paths, _ = jax.tree_util.tree_flatten_with_path((params, opt_state))
     leaves = [leaf for _, leaf in with_paths]
