@@ -76,17 +76,37 @@ class BatchingRecommender:
         self._batches = 0
         self._batched_users = 0
         self._batched_requests = 0
-        # Fixed worker pool: each worker loops take_batch -> dispatch, so up
-        # to `parallelism` coalesced device calls are in flight (no
-        # per-batch thread churn, no semaphore leak path).
-        self._workers = [
-            threading.Thread(
-                target=self._loop, daemon=True, name=f"serve-batcher-{i}"
-            )
-            for i in range(max(parallelism, 1))
-        ]
-        for w in self._workers:
-            w.start()
+        # Worker pool: each worker loops take_batch -> dispatch, so up to
+        # `parallelism` coalesced device calls are in flight (no per-batch
+        # thread churn, no semaphore leak path). Resizable at runtime
+        # (set_parallelism — the TorchServe scale-workers analog): growth
+        # starts threads; shrink retires surplus workers the next time they
+        # look for work (in-flight dispatches always complete).
+        self._live = 0     # workers currently alive (under _cond)
+        self._target = 0   # desired pool size (under _cond)
+        self._worker_seq = 0
+        self.set_parallelism(parallelism)
+
+    def set_parallelism(self, n: int) -> int:
+        """Resize the dispatch worker pool at runtime; returns the new size."""
+        n = max(1, int(n))
+        with self._cond:
+            self._target = n
+            while self._live < self._target:
+                self._live += 1
+                self._worker_seq += 1
+                threading.Thread(
+                    target=self._loop, daemon=True,
+                    name=f"serve-batcher-{self._worker_seq}",
+                ).start()
+            # Surplus workers blocked in take_batch wake and retire.
+            self._cond.notify_all()
+        return n
+
+    @property
+    def parallelism(self) -> int:
+        with self._cond:
+            return self._target
 
     # -- request side -------------------------------------------------------
     def recommend(self, user_ids, k: int | None = None) -> np.ndarray:
@@ -115,11 +135,19 @@ class BatchingRecommender:
         return p.result
 
     # -- collector side -----------------------------------------------------
-    def _take_batch(self) -> list[_Pending]:
+    def _take_batch(self) -> list[_Pending] | None:
+        """Next coalesced batch, or None when this worker should retire
+        (pool shrunk below the number of live workers)."""
         with self._cond:
             while True:
+                if self._live > self._target:
+                    self._live -= 1
+                    return None
                 while not self._pending:
                     self._cond.wait()
+                    if self._live > self._target:
+                        self._live -= 1
+                        return None
                 # Linger anchored to the OLDEST request's arrival: leftovers
                 # from a capacity-cut batch (or requests that queued during
                 # the previous device call) have already aged past the
@@ -148,7 +176,10 @@ class BatchingRecommender:
 
     def _loop(self):
         while True:
-            self._dispatch(self._take_batch())
+            batch = self._take_batch()
+            if batch is None:
+                return  # retired by set_parallelism
+            self._dispatch(batch)
 
     def _dispatch(self, batch):
         n_users = 0
@@ -196,6 +227,7 @@ class BatchingRecommender:
             "batching": True,
             "max_wait_s": self.max_wait_s,
             "max_batch_users": self.max_users,
+            "batch_workers": self.parallelism,
         }
 
     def refresh_from_checkpoint(self) -> float:
@@ -203,6 +235,18 @@ class BatchingRecommender:
 
     def refresh(self, params: dict) -> float:
         return self.service.refresh(params)
+
+    def register_version(self, *args, **kwargs) -> str:
+        return self.service.register_version(*args, **kwargs)
+
+    def set_default_version(self, version: str) -> None:
+        self.service.set_default_version(version)
+
+    def unregister_version(self, version: str) -> None:
+        self.service.unregister_version(version)
+
+    def list_versions(self) -> list:
+        return self.service.list_versions()
 
     @property
     def prepared(self):

@@ -14,6 +14,22 @@ Endpoint parity with the reference's TorchServe deployment
     GET  /metrics                   → Prometheus text counters (metrics API
         analog of TorchServe's :8082 endpoint, ``config.properties:4``).
 
+Management API (TorchServe :8081 register/unregister/scale-workers parity,
+``config.properties:3`` — one port here; the verbs map 1:1):
+
+    GET    /v1/models                                     → list versions
+    POST   /v1/models/lightgcn_recommender:register
+           body {"checkpoint_dir": …, "checkpoint_name": …, "version": …,
+                 "set_default": true}                     → load + swap in a
+           new model version atomically (old version kept for rollback)
+    PUT    /v1/models/lightgcn_recommender/<version>/set-default
+    DELETE /v1/models/lightgcn_recommender/<version>      → unregister
+    PUT    /v1/models/lightgcn_recommender?workers=N      → resize the
+           batcher's dispatch worker pool (scale-workers analog; 501 when
+           batching is disabled)
+    POST   /v1/models/lightgcn_recommender:refresh        → re-propagate the
+           active version from its checkpoint directory
+
 The reference runs a Java frontend + Python worker processes with a .mar
 archive; here one Python process hosts a threaded HTTP server in front of the
 TPU-resident embedding cache (requests serialize on the device call, which is
@@ -47,6 +63,12 @@ def make_server(service: RecommenderService, host: str = "127.0.0.1", port: int 
         def do_GET(self):
             if self.path == "/ping":
                 self._send(200, {"status": "Healthy"})
+            elif self.path == "/v1/models":
+                # Management list-models analog.
+                self._send(
+                    200, {"models": [{"modelName": MODEL_NAME,
+                                      "versions": service.list_versions()}]}
+                )
             elif self.path == f"/v1/models/{MODEL_NAME}":
                 self._send(200, {"model": MODEL_NAME, **service.stats()})
             elif self.path == "/metrics":
@@ -66,7 +88,95 @@ def make_server(service: RecommenderService, host: str = "127.0.0.1", port: int 
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
+        def _read_json(self):
+            length = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(length) or b"null")
+
+        def do_PUT(self):
+            from urllib.parse import parse_qs, urlparse
+
+            parsed = urlparse(self.path)
+            # Scale-workers analog: PUT /v1/models/<name>?workers=N
+            if parsed.path == f"/v1/models/{MODEL_NAME}":
+                q = parse_qs(parsed.query)
+                if "workers" not in q:
+                    self._send(400, {"error": "missing ?workers=N"})
+                    return
+                if not hasattr(service, "set_parallelism"):
+                    self._send(
+                        501,
+                        {"error": "batching disabled: no worker pool to scale"},
+                    )
+                    return
+                try:
+                    n = service.set_parallelism(int(q["workers"][0]))
+                    self._send(200, {"status": "scaled", "workers": n})
+                except Exception as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            # Set-default: PUT /v1/models/<name>/<version>/set-default
+            prefix = f"/v1/models/{MODEL_NAME}/"
+            if parsed.path.startswith(prefix) and parsed.path.endswith(
+                "/set-default"
+            ):
+                version = parsed.path[len(prefix) : -len("/set-default")]
+                try:
+                    service.set_default_version(version)
+                    self._send(200, {"status": "default", "version": version})
+                except KeyError as e:
+                    self._send(404, {"error": str(e)})
+                return
+            self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_DELETE(self):
+            # Unregister: DELETE /v1/models/<name>/<version>
+            prefix = f"/v1/models/{MODEL_NAME}/"
+            if self.path.startswith(prefix):
+                version = self.path[len(prefix) :]
+                try:
+                    service.unregister_version(version)
+                    self._send(200, {"status": "unregistered", "version": version})
+                except KeyError as e:
+                    self._send(404, {"error": str(e)})
+                except ValueError as e:
+                    self._send(409, {"error": str(e)})
+                return
+            self._send(404, {"error": f"unknown path {self.path}"})
+
         def do_POST(self):
+            if self.path == f"/v1/models/{MODEL_NAME}:register":
+                # Register a new model version from a checkpoint directory
+                # (TorchServe POST /models analog).
+                try:
+                    body = self._read_json()
+                    if not isinstance(body, dict) or "checkpoint_dir" not in body:
+                        raise ValueError(
+                            'body must be {"checkpoint_dir": ..., '
+                            '["checkpoint_name"], ["version"], ["set_default"]}'
+                        )
+                    kwargs = {"checkpoint_dir": body["checkpoint_dir"]}
+                    if "checkpoint_name" in body:
+                        kwargs["checkpoint_name"] = body["checkpoint_name"]
+                    if "version" in body:
+                        kwargs["version"] = str(body["version"])
+                    if "set_default" in body:
+                        kwargs["set_default"] = bool(body["set_default"])
+                    vid = service.register_version(**kwargs)
+                    self._send(
+                        200,
+                        {
+                            "status": "registered",
+                            "version": vid,
+                            "versions": service.list_versions(),
+                        },
+                    )
+                except ValueError as e:
+                    self._send(400, {"error": str(e)})
+                except FileNotFoundError as e:
+                    self._send(404, {"error": str(e)})
+                except Exception as e:
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path == f"/v1/models/{MODEL_NAME}:refresh":
                 # Management-API analog: re-propagate cached embeddings from
                 # the service's current parameters (e.g. after a checkpoint

@@ -87,6 +87,13 @@ class RecommenderService:
         # Static mask width: the global max purchases per user, so every
         # request shares one compiled mask shape.
         self._mask_width = max(1, int(np.diff(self._mask_indptr).max(initial=0)))
+        # Model-version registry (TorchServe management-API parity,
+        # ``torchserve/config.properties:3``): each version holds its own
+        # propagated cache; requests read the ACTIVE version. register/
+        # unregister/set-default swap atomically under the lock.
+        self._versions: dict = {}
+        self._active: str = "1"
+        self._next_version = 2
         self.refresh(params)
         if warm:
             # Compile EVERY batch bucket before accepting traffic: a
@@ -135,6 +142,13 @@ class RecommenderService:
         svc = cls(prepared, params, cfg, k=k, mask_mode=mask_mode, quantized=quantized)
         svc.checkpoint_meta = meta
         svc._checkpoint_source = (checkpoint_dir, checkpoint_name)
+        # __init__'s refresh ran before the provenance was known; stamp it
+        # onto the initial version so list_versions reports it.
+        with svc._lock:
+            svc._versions[svc._active]["meta"] = meta
+            svc._versions[svc._active]["source"] = (
+                checkpoint_dir, checkpoint_name,
+            )
         return svc
 
     def refresh_from_checkpoint(self) -> float:
@@ -152,24 +166,142 @@ class RecommenderService:
 
         return self.refresh({"embedding": jnp.asarray(find_leaf(leaves, meta, "embedding"))})
 
-    def refresh(self, params: dict) -> float:
-        """(Re)propagate and swap the cached final embeddings; returns secs."""
-        t0 = time.perf_counter()
-        if not hasattr(self, "_propagate"):
-            cfg = self.cfg
-            self._propagate = jax.jit(lambda p, g: get_embedding(p, g, cfg))
-        emb = self._propagate(params, self._graph)
+    def _propagate_params(self, params: dict, cfg: LightGCNConfig):
+        """Propagate once with a per-(dim, layers) cached jit (versions may
+        carry different hyperparameters)."""
+        if not hasattr(self, "_propagate_cache"):
+            self._propagate_cache = {}
+        key = (cfg.embedding_dim, cfg.num_layers)
+        fn = self._propagate_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda p, g: get_embedding(p, g, cfg))
+            self._propagate_cache[key] = fn
+        emb = fn(params, self._graph)
         emb.block_until_ready()
+        return emb
+
+    def _build_cache(self, params: dict, cfg: LightGCNConfig):
+        emb = self._propagate_params(params, cfg)
         qcache = None
         if self.quantized:
             from .quantized import QuantizedCache
 
             qcache = QuantizedCache(emb, self.prepared.n_users)
+        return emb, qcache
+
+    @property
+    def final_emb(self):
         with self._lock:
-            self.final_emb = emb
-            self._qcache = qcache
+            return self._versions[self._active]["emb"]
+
+    def refresh(self, params: dict) -> float:
+        """(Re)propagate and swap the ACTIVE version's cached final
+        embeddings in place; returns secs."""
+        t0 = time.perf_counter()
+        emb, qcache = self._build_cache(params, self.cfg)
+        with self._lock:
+            self._versions[self._active] = {
+                "emb": emb,
+                "qcache": qcache,
+                "meta": getattr(self, "checkpoint_meta", {}) or {},
+                "source": getattr(self, "_checkpoint_source", None),
+                "cfg": self.cfg,
+            }
         self.last_refresh_s = time.perf_counter() - t0
         return self.last_refresh_s
+
+    # -- model-version management (TorchServe management API parity:
+    # register/unregister/set-default on :8081, config.properties:3) --------
+
+    def register_version(
+        self,
+        checkpoint_dir: str,
+        checkpoint_name: str = BEST_NAME,
+        version: str | None = None,
+        set_default: bool = True,
+    ) -> str:
+        """Load a checkpoint as a NEW model version (its own propagated
+        cache) and optionally make it the default atomically — the analog of
+        TorchServe's ``POST /models`` + set-default. The old version stays
+        registered for instant rollback. A version with a different
+        embedding dim recompiles the scorer on first touch."""
+        from ..train.checkpoint import find_leaf
+
+        leaves, meta = load_checkpoint(checkpoint_dir, checkpoint_name)
+        hp = meta.get("hyperparams", {})
+        cfg = LightGCNConfig(
+            num_nodes=self.prepared.n_users + self.prepared.n_items,
+            embedding_dim=int(hp.get("latent_dim", self.cfg.embedding_dim)),
+            num_layers=int(hp.get("n_layers", self.cfg.num_layers)),
+        )
+        emb0 = find_leaf(leaves, meta, "embedding")
+        params = {"embedding": jnp.asarray(emb0)}
+        if params["embedding"].shape != (cfg.num_nodes, cfg.embedding_dim):
+            raise ValueError(
+                f"checkpoint embedding {params['embedding'].shape} != "
+                f"{(cfg.num_nodes, cfg.embedding_dim)}"
+            )
+        t0 = time.perf_counter()
+        emb, qcache = self._build_cache(params, cfg)
+        with self._lock:
+            if version is None:
+                version = str(self._next_version)
+                self._next_version += 1
+            elif version in self._versions:
+                raise ValueError(f"version {version!r} already registered")
+            self._versions[version] = {
+                "emb": emb,
+                "qcache": qcache,
+                "meta": meta,
+                "source": (checkpoint_dir, checkpoint_name),
+                "cfg": cfg,
+            }
+            if set_default:
+                self._activate_locked(version)
+        self.last_refresh_s = time.perf_counter() - t0
+        return version
+
+    def _activate_locked(self, version: str) -> None:
+        v = self._versions[version]
+        self._active = version
+        self.cfg = v["cfg"]
+        self.checkpoint_meta = v["meta"]
+        if v["source"] is not None:
+            self._checkpoint_source = v["source"]
+
+    def set_default_version(self, version: str) -> None:
+        """Atomically route new requests to ``version`` (rollback included)."""
+        with self._lock:
+            if version not in self._versions:
+                raise KeyError(f"unknown version {version!r}")
+            self._activate_locked(version)
+
+    def unregister_version(self, version: str) -> None:
+        """Drop a version's cache. Refuses the ACTIVE version (TorchServe
+        likewise refuses unregistering a default with live workers)."""
+        with self._lock:
+            if version not in self._versions:
+                raise KeyError(f"unknown version {version!r}")
+            if version == self._active:
+                raise ValueError(
+                    f"version {version!r} is active; set another default first"
+                )
+            del self._versions[version]
+
+    def list_versions(self) -> list:
+        """Registered versions, TorchServe list-models analog."""
+        with self._lock:
+            return [
+                {
+                    "version": vid,
+                    "active": vid == self._active,
+                    "epoch": (v["meta"] or {}).get("epoch"),
+                    "recall": (v["meta"] or {}).get("recall"),
+                    "embedding_dim": int(v["cfg"].embedding_dim),
+                    "num_layers": int(v["cfg"].num_layers),
+                }
+                for vid, v in sorted(self._versions.items())
+            ]
 
     def _request_mask(self, user_ids: np.ndarray) -> np.ndarray:
         """Per-request [B, M] exclusion mask (-1 padded, local item space).
@@ -206,8 +338,8 @@ class RecommenderService:
         padded_ids = ids if bucket is None else np.pad(ids, (0, bucket - n))
         mask = self._request_mask(padded_ids)
         with self._lock:
-            emb = self.final_emb
-            qcache = self._qcache
+            v = self._versions[self._active]
+            emb, qcache = v["emb"], v["qcache"]
         if qcache is not None:
             out = qcache.recommend(padded_ids, mask, k=k)[:n]
         else:
@@ -247,4 +379,6 @@ class RecommenderService:
             "k": self.k,
             "quantized": bool(self.quantized),
             "last_refresh_s": round(self.last_refresh_s, 4),
+            "versions": [v["version"] for v in self.list_versions()],
+            "active_version": self._active,
         }

@@ -312,3 +312,131 @@ def test_batching_recommender_coalesces(service, prepared):
         batcher.recommend([prepared.n_users + 7])
     ok = batcher.recommend(users[:2])
     np.testing.assert_array_equal(ok, service.recommend(users[:2]))
+
+
+def test_management_api_versions_and_workers(prepared, tmp_path):
+    """TorchServe management-API parity (round-4 VERDICT item 7): register a
+    second checkpoint version over HTTP, see predictions swap atomically,
+    roll back via set-default, unregister, and scale the batcher's worker
+    pool at runtime."""
+    import urllib.error
+
+    import jax
+    import optax
+
+    from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+    from gnn_ecommerce_tpu.serve import (
+        BatchingRecommender,
+        RecommenderService,
+        make_server,
+    )
+    from gnn_ecommerce_tpu.train.checkpoint import save_checkpoint
+
+    cfg = LightGCNConfig(
+        num_nodes=prepared.n_users + prepared.n_items, embedding_dim=8,
+        num_layers=2,
+    )
+    hp = {"latent_dim": 8, "n_layers": 2}
+    save_prepared(prepared, str(tmp_path / "data"))
+    opt = optax.adam(1e-3)
+    for i, name in enumerate(["vA", "vB"]):
+        params = init_params(jax.random.key(i), cfg)
+        save_checkpoint(
+            str(tmp_path / "ckpt"), params, opt.init(params), epoch=i,
+            precision=0.1, recall=0.2 + i, hyperparams=hp, name=name,
+        )
+    svc = RecommenderService.from_artifacts(
+        str(tmp_path / "data"), str(tmp_path / "ckpt"), "vA", k=10
+    )
+    batched = BatchingRecommender(svc, parallelism=1)
+    server = make_server(batched, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(method, path, body=None):
+        req = urllib.request.Request(
+            f"{base}{path}",
+            data=None if body is None else json.dumps(body).encode(),
+            method=method,
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.load(r)
+
+    try:
+        # One registered version initially.
+        models = call("GET", "/v1/models")["models"][0]
+        assert [v["version"] for v in models["versions"]] == ["1"]
+        assert models["versions"][0]["active"]
+
+        users = [int(u) for u in np.asarray(prepared.sampler.users[:4])]
+        rec_a = call(
+            "POST", "/v1/models/lightgcn_recommender:predict", users
+        )["items"]
+
+        # Register vB -> becomes default; predictions swap.
+        out = call(
+            "POST", "/v1/models/lightgcn_recommender:register",
+            {"checkpoint_dir": str(tmp_path / "ckpt"), "checkpoint_name": "vB"},
+        )
+        assert out["status"] == "registered" and out["version"] == "2"
+        rec_b = call(
+            "POST", "/v1/models/lightgcn_recommender:predict", users
+        )["items"]
+        assert rec_b != rec_a  # different weights -> different top-K
+
+        # Roll back to version 1: predictions restore EXACTLY.
+        assert call(
+            "PUT", "/v1/models/lightgcn_recommender/1/set-default"
+        )["version"] == "1"
+        assert call(
+            "POST", "/v1/models/lightgcn_recommender:predict", users
+        )["items"] == rec_a
+
+        # Unregistering the ACTIVE version is refused (409); the idle one
+        # drops cleanly.
+        try:
+            call("DELETE", "/v1/models/lightgcn_recommender/1")
+            raise AssertionError("expected HTTP 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        assert call("DELETE", "/v1/models/lightgcn_recommender/2")[
+            "status"
+        ] == "unregistered"
+        models = call("GET", "/v1/models")["models"][0]
+        assert [v["version"] for v in models["versions"]] == ["1"]
+
+        # Scale the batcher worker pool up and back down; the batched path
+        # still serves afterwards (retired workers drain cleanly).
+        assert call(
+            "PUT", "/v1/models/lightgcn_recommender?workers=3"
+        )["workers"] == 3
+        assert call("GET", "/v1/models/lightgcn_recommender")[
+            "batch_workers"
+        ] == 3
+        assert call(
+            "PUT", "/v1/models/lightgcn_recommender?workers=1"
+        )["workers"] == 1
+        small = call(
+            "POST", "/v1/models/lightgcn_recommender:predict", users[:2]
+        )["items"]
+        assert small == rec_a[:2]
+    finally:
+        server.shutdown()
+
+    # Without a batcher there is no worker pool: scale-workers -> 501.
+    server2 = make_server(svc, port=0)
+    port2 = server2.server_address[1]
+    threading.Thread(target=server2.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port2}/v1/models/lightgcn_recommender?workers=2",
+            method="PUT",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 501")
+        except urllib.error.HTTPError as e:
+            assert e.code == 501
+    finally:
+        server2.shutdown()
