@@ -70,6 +70,11 @@ def fit_svd(
     minibatch mean gradient makes plain SGD orders of magnitude slower per
     epoch, so the optimizer is Adam — same objective, different (better)
     optimizer, evaluated with the same surprise-parity metric.
+
+    The edge arrays upload ONCE; the per-epoch shuffle is a device-side
+    ``jax.random.permutation`` + gather inside the jitted epoch (at cosmetics
+    scale a host-side reshuffle would re-upload ~154 MB × epochs through the
+    slow device link — CLAUDE.md: upload nothing big through the tunnel).
     """
     key = jax.random.key(cfg.seed)
     params = init_svd(key, n_users, n_items, cfg)
@@ -93,8 +98,13 @@ def fit_svd(
         )
         return mse + reg
 
-    @jax.jit
-    def epoch(params, opt_state, u, i, r, valid):
+    # Passed as ARGS, not closed over: captured arrays would be baked into
+    # the executable as constants.
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(params, opt_state, ekey, u0, i0, r0, v0):
+        perm = jax.random.permutation(ekey, n + pad)
+        u, i, r, valid = u0[perm], i0[perm], r0[perm], v0[perm]
+
         def body(carry, batch):
             params, opt_state = carry
             bu, bi, br, bv = batch
@@ -108,14 +118,14 @@ def fit_svd(
         (params, opt_state), _ = jax.lax.scan(body, (params, opt_state), batches)
         return params, opt_state
 
-    rng = np.random.default_rng(cfg.seed)
-    for _ in range(cfg.n_epochs):
-        perm = rng.permutation(n)
-        u = jnp.asarray(np.pad(users[perm], (0, pad)).astype(np.int32))
-        i = jnp.asarray(np.pad(items[perm], (0, pad)).astype(np.int32))
-        r = jnp.asarray(np.pad(ratings[perm], (0, pad)).astype(np.float32))
-        valid = jnp.asarray(np.pad(np.ones(n, np.float32), (0, pad)))
-        params, opt_state = epoch(params, opt_state, u, i, r, valid)
+    u0 = jnp.asarray(np.pad(users, (0, pad)).astype(np.int32))
+    i0 = jnp.asarray(np.pad(items, (0, pad)).astype(np.int32))
+    r0 = jnp.asarray(np.pad(ratings, (0, pad)).astype(np.float32))
+    v0 = jnp.asarray(np.pad(np.ones(n, np.float32), (0, pad)))
+    for e in range(cfg.n_epochs):
+        params, opt_state = epoch(
+            params, opt_state, jax.random.fold_in(key, e), u0, i0, r0, v0
+        )
     return params
 
 

@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_NEG = jnp.float32(-3.0e38)
-
 
 def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-row symmetric absmax int8 quantization -> (q [N, D] i8, s [N] f32)."""
