@@ -11,6 +11,20 @@ process sees every local TPU chip; meshes are configured via the config's
 ``data_dir`` (the analog of the reference persisting processed split CSVs,
 ``src/train_lightgcn.py:39-41``) so infer/serve can start without redoing
 ETL.
+
+Multi-HOST (one process per host on a TPU slice): launch the same command on
+every host with the bootstrap flags — on GCE/GKE TPU VMs the bare
+``--distributed`` flag suffices (coordinator auto-detected from TPU
+metadata); elsewhere pass all three explicitly:
+
+    python -m gnn_ecommerce_tpu.cli.train --synthetic -e 20 --mesh 0 \\
+        --partition edge --fast bf16 \\
+        --coordinator host0:9999 --num-processes 2 --process-id $ID
+
+Every host must see the same input data (identical seeds/paths — the
+replicated-host-input contract); checkpoints/logs are written by process 0
+only. The 2-process CPU rehearsal of exactly this path lives in
+``tests/test_multiprocess.py``.
 """
 from __future__ import annotations
 
@@ -118,7 +132,30 @@ def main(argv=None):
         "--checkpoint-every", type=int,
         help="save LAST checkpoint every N epochs (0 = only at the end)",
     )
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="initialize the multi-host JAX runtime (coordinator auto-"
+        "detected from TPU metadata on GCE/GKE TPU VMs)",
+    )
+    ap.add_argument(
+        "--coordinator",
+        help="multi-host coordinator address host:port (implies --distributed)",
+    )
+    ap.add_argument("--num-processes", type=int, help="total host processes")
+    ap.add_argument("--process-id", type=int, help="this host's process index")
     args = ap.parse_args(argv)
+
+    if args.distributed or args.coordinator:
+        # MUST run before any backend-initializing JAX call; the import
+        # chain above is import-only (see ops/topk_score.py note).
+        from ..parallel.distributed import init_distributed
+
+        info = init_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(f"distributed: {info}")
 
     cfg = FrameworkConfig.load(args.config) if args.config else FrameworkConfig()
     if args.epochs is not None:
@@ -148,9 +185,12 @@ def main(argv=None):
     print(f"{len(edges)} weighted edges; splitting + preparing ...")
     tr, va, te = split_edges(edges, seed=cfg.train.seed)
     prepared = prepare_splits(tr, va, te)
-    os.makedirs(cfg.data_dir, exist_ok=True)
-    save_prepared(prepared, cfg.data_dir)
-    print(f"prepared artifact -> {cfg.data_dir}")
+    import jax
+
+    if jax.process_index() == 0:  # multi-host: one writer (shared fs safe)
+        os.makedirs(cfg.data_dir, exist_ok=True)
+        save_prepared(prepared, cfg.data_dir)
+        print(f"prepared artifact -> {cfg.data_dir}")
 
     result = train(prepared, cfg.train)
     print(

@@ -84,6 +84,53 @@ def test_two_process_full_train_loop(tmp_path):
         assert json.load(f)["epoch"] == 4
 
 
+def test_two_process_cli_train(tmp_path):
+    """The day-0 multi-host COMMAND LINE: two processes each launch
+    ``python -m gnn_ecommerce_tpu.cli.train --coordinator ...`` and train one
+    epoch over the joint 4-device mesh with the fast edge partition. The
+    children drop the axon plugin from PYTHONPATH so JAX_PLATFORMS=cpu is
+    honored (the CLI itself never forces a backend — on a real slice it must
+    see the TPUs)."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "gnn_ecommerce_tpu.cli.train",
+             "--synthetic", "-e", "1", "--synthetic-users", "200",
+             "--synthetic-items", "50", "--synthetic-events", "4000",
+             "--mesh", "4", "--partition", "edge", "--fast", "f32",
+             "--coordinator", coordinator, "--num-processes", "2",
+             "--process-id", str(i)],
+            cwd=str(tmp_path), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"cli proc {i} failed:\n{out}"
+        assert "done: best epoch" in out, out
+    # Process 0 wrote the artifacts; process 1 did not duplicate them.
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "model-checkpoints", "LightGCN_best",
+                     "meta.json")
+    )
+    assert "distributed: {'process_index': 0" in outs[0]
+    assert "distributed: {'process_index': 1" in outs[1]
+
+
 def test_two_process_distributed_step():
     # Bounded by the communicate(timeout=540) below (pytest-timeout is not
     # installed in this image).
