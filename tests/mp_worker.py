@@ -65,22 +65,25 @@ def mp_prepared(seed: int = 11):
 
 
 def mp_train_config(ckpt_dir: str, n_devices: int, phase: str):
-    """Flagship multi-device config for the full-loop test (also used by the
-    single-process restore leg, with its own n_devices)."""
+    """Multi-device config for the full-loop test: the flagship fast edge
+    partition for train/resume phases, the GSPMD annotated-shardings branch
+    for the 'gspmd' phase (also used by the single-process restore leg,
+    with its own n_devices)."""
     from gnn_ecommerce_tpu.train import TrainConfig
 
+    gspmd = phase == "gspmd"
     return TrainConfig(
         latent_dim=8,
         n_layers=2,
-        epochs=2 if phase == "train" else 4,
+        epochs=1 if gspmd else 2 if phase == "train" else 4,
         batch_size=64,
         batches_per_epoch=3,
         checkpoint_dir=ckpt_dir,
         lr=0.02,
         mesh_devices=n_devices,
-        partition="edge",
-        fast_bipartite="f32",
-        heavy_users=4,
+        partition="gspmd" if gspmd else "edge",
+        fast_bipartite="off" if gspmd else "f32",
+        heavy_users=0 if gspmd else 4,
         resume=(phase == "resume"),
         async_saves=True,
     )

@@ -68,6 +68,14 @@ def test_two_process_full_train_loop(tmp_path):
         assert p.returncode == 0, f"resume proc {i} failed:\n{out}"
         assert f"proc {i}: FULL resume OK" in out, out
 
+    # GSPMD branch through the full loop as well (one epoch, own dir): the
+    # annotated-shardings path shares the sharded-eval and replicate-then-
+    # write checkpoint machinery but none of the shard_map plumbing.
+    procs, outs = _run_workers(["full", str(tmp_path / "mp_gspmd"), "gspmd"])
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"gspmd proc {i} failed:\n{out}"
+        assert f"proc {i}: FULL gspmd OK" in out, out
+
     # Phase 3: resume ONCE MORE in this (single) process on the 8-device
     # virtual mesh — a process-count change (2 -> 1) AND a device-count
     # change (4 -> 8) against the same on-disk checkpoint.
