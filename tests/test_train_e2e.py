@@ -56,6 +56,33 @@ def test_resume_continues(tmp_path):
     assert r2.best_val_recall >= r1.best_val_recall
 
 
+def test_resume_continues_on_gspmd_mesh(tmp_path):
+    """Mid-training resume through the GSPMD mesh branch: the restored
+    (unsharded, unpadded) opt-state leaves must survive re-entry into the
+    sharded step — the one resume path the multi-process tests don't
+    cover (they resume the edge branch)."""
+    prep = make_prepared(seed=9)
+    base = dict(
+        latent_dim=8, n_layers=2, batch_size=128, batches_per_epoch=4,
+        checkpoint_dir=str(tmp_path), lr=0.02, mesh_devices=8,
+        partition="gspmd",
+    )
+    r1 = train(prep, TrainConfig(epochs=2, **base), verbose=False)
+    r2 = train(prep, TrainConfig(epochs=4, resume=True, **base), verbose=False)
+    assert [h["epoch"] for h in r2.history] == [2, 3]
+    assert r2.best_val_recall >= r1.best_val_recall
+    # And the checkpoint restores on a DIFFERENT topology: single device.
+    r3 = train(
+        prep,
+        TrainConfig(
+            epochs=5, resume=True,
+            **{**base, "mesh_devices": 1, "partition": "gspmd"},
+        ),
+        verbose=False,
+    )
+    assert [h["epoch"] for h in r3.history] == [4]
+
+
 def test_throttled_best_checkpoint_persisted_mid_run(tmp_path, monkeypatch):
     """checkpoint_every > 1 must still persist BEST on the save cadence —
     a crash after epoch N loses at most checkpoint_every epochs of
