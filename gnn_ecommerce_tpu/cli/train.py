@@ -154,6 +154,11 @@ def main(argv=None):
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
             process_id=args.process_id,
+            # Bare --distributed: the NO-ARG initialize() call is what
+            # auto-detects the coordinator from TPU metadata; without
+            # force the helper would skip it and every host would run as
+            # an independent single-process job.
+            force=args.distributed,
         )
         print(f"distributed: {info}")
 

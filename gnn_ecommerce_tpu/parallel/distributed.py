@@ -37,16 +37,21 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    force: bool = False,
 ) -> dict:
     """Initialize the multi-host JAX runtime (idempotent, safe single-host).
 
-    With no arguments, relies on TPU metadata auto-detection (GKE/GCE TPU
-    VMs set the coordinator env); explicit args mirror
+    ``force=True`` calls ``jax.distributed.initialize`` even with no
+    explicit arguments — the no-arg call is what performs TPU-metadata
+    coordinator auto-detection on GCE/GKE TPU VMs (``cli.train
+    --distributed`` passes this; without it a bare flag would silently run
+    every host as an independent single-process job). Explicit args mirror
     ``jax.distributed.initialize``. Returns a summary dict for logging.
     """
     already = getattr(jax.distributed, "is_initialized", lambda: False)()
     multi = (
-        coordinator_address is not None
+        force
+        or coordinator_address is not None
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or (num_processes or 0) > 1
     )
@@ -64,6 +69,9 @@ def init_distributed(
     }
 
 
+_replicate_fns: dict = {}
+
+
 def replicate_tree(tree, mesh):
     """All-gather every leaf to a fully-replicated layout over ``mesh``.
 
@@ -73,14 +81,24 @@ def replicate_tree(tree, mesh):
     over ICI/DCN (the table fits one host comfortably: ~600 MB at cosmetics
     scale) — after which every process holds full copies and process 0 can
     write them. Single-process it is a cheap layout change.
+
+    The jitted identity-with-out-shardings is CACHED per (mesh, leaf
+    count): a fresh lambda per call would defeat jit's executable cache and
+    recompile the gather on every checkpoint save (remote TPU compiles cost
+    20 s–4 min here).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    rep = NamedSharding(mesh, P())
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    out = jax.jit(
-        lambda *ls: ls, out_shardings=tuple(rep for _ in leaves)
-    )(*leaves)
+    key = (mesh, len(leaves))
+    fn = _replicate_fns.get(key)
+    if fn is None:
+        rep = NamedSharding(mesh, P())
+        fn = jax.jit(
+            lambda *ls: ls, out_shardings=tuple(rep for _ in leaves)
+        )
+        _replicate_fns[key] = fn
+    out = fn(*leaves)
     return jax.tree_util.tree_unflatten(treedef, list(out))
 
 

@@ -749,6 +749,13 @@ def _train_impl(
         one snapshot + one readback regardless of how many names share it
         (an improving epoch writes BEST and LAST from the same state).
         Never blocks: a save still in the mailbox is simply replaced."""
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # Only process 0 writes files (train/checkpoint.py guard); the
+            # snapshot + banded readback on other processes would be pure
+            # wasted bandwidth. The replicating ckpt_view (a collective) has
+            # ALREADY run on every process by this point — skipping here is
+            # local-only work.
+            return
         if saver is None:
             for name, kw in targets:
                 save_checkpoint(

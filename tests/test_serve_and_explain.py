@@ -440,3 +440,52 @@ def test_management_api_versions_and_workers(prepared, tmp_path):
             assert e.code == 501
     finally:
         server2.shutdown()
+
+
+def test_register_version_cap_and_cheap_rejects(prepared, tmp_path, monkeypatch):
+    """Registry is bounded (each version pins a full device cache) and cheap
+    rejections (duplicate id, registry full) fire BEFORE any checkpoint
+    load or propagation (round-5 review findings)."""
+    import jax
+    import optax
+
+    from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+    from gnn_ecommerce_tpu.serve import RecommenderService
+    from gnn_ecommerce_tpu.serve import service as service_mod
+    from gnn_ecommerce_tpu.train.checkpoint import save_checkpoint
+
+    cfg = LightGCNConfig(
+        num_nodes=prepared.n_users + prepared.n_items, embedding_dim=8,
+        num_layers=2,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    save_prepared(prepared, str(tmp_path / "data"))
+    save_checkpoint(
+        str(tmp_path / "ckpt"), params, optax.adam(1e-3).init(params),
+        epoch=0, precision=0.1, recall=0.2,
+        hyperparams={"latent_dim": 8, "n_layers": 2}, name="v",
+    )
+    svc = RecommenderService.from_artifacts(
+        str(tmp_path / "data"), str(tmp_path / "ckpt"), "v", k=5
+    )
+    monkeypatch.setattr(RecommenderService, "MAX_VERSIONS", 3)
+
+    # Duplicate explicit id: rejected before load_checkpoint runs.
+    loads = []
+    real_load = service_mod.load_checkpoint
+    monkeypatch.setattr(
+        service_mod, "load_checkpoint",
+        lambda *a, **k: (loads.append(a), real_load(*a, **k))[1],
+    )
+    with pytest.raises(ValueError, match="already registered"):
+        svc.register_version(str(tmp_path / "ckpt"), "v", version="1")
+    assert loads == []  # no checkpoint IO for the rejected call
+
+    svc.register_version(str(tmp_path / "ckpt"), "v")  # -> "2"
+    svc.register_version(str(tmp_path / "ckpt"), "v")  # -> "3" (at cap)
+    n_loads = len(loads)
+    with pytest.raises(ValueError, match="registry full"):
+        svc.register_version(str(tmp_path / "ckpt"), "v")
+    assert len(loads) == n_loads  # full-registry reject is also pre-IO
+    svc.unregister_version("2")
+    assert svc.register_version(str(tmp_path / "ckpt"), "v") == "4"
