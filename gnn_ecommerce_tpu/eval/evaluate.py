@@ -132,6 +132,7 @@ def evaluate_bucketed(
     user_tile: int = 1024,
     item_tile: int = 8192,
     mask_mode: str = "neginf",
+    topk_impl: str = "exact",
 ) -> tuple[float, float]:
     """Mean (precision, recall) over a bucketed split (user-weighted, so the
     result equals the single-batch :func:`evaluate` means exactly)."""
@@ -139,7 +140,8 @@ def evaluate_bucketed(
     tot_n = 0
     for batch in buckets:
         p, r, _, _, _ = evaluate(
-            final_emb, batch, n_users, k, user_tile, item_tile, mask_mode
+            final_emb, batch, n_users, k, user_tile, item_tile, mask_mode,
+            topk_impl,
         )
         tot_p += p * batch.num_users
         tot_r += r * batch.num_users
@@ -149,7 +151,9 @@ def evaluate_bucketed(
 
 @partial(
     jax.jit,
-    static_argnames=("n_users", "k", "user_tile", "item_tile", "mask_mode"),
+    static_argnames=(
+        "n_users", "k", "user_tile", "item_tile", "mask_mode", "topk_impl",
+    ),
 )
 def _evaluate_tiles(
     final_emb: jax.Array,
@@ -159,6 +163,7 @@ def _evaluate_tiles(
     user_tile: int,
     item_tile: int,
     mask_mode: str,
+    topk_impl: str = "exact",
 ):
     item_emb = final_emb[n_users:]
     # Rows may carry pow2 padding (build_eval_buckets) so many buckets share
@@ -177,7 +182,9 @@ def _evaluate_tiles(
     def tile_step(_, inputs):
         tile_uids, tile_truth, tile_mask = inputs
         u_emb = final_emb[tile_uids]
-        vals, idx = topk_scores(u_emb, item_emb, tile_mask, k, item_tile, mask_mode)
+        vals, idx = topk_scores(
+            u_emb, item_emb, tile_mask, k, item_tile, mask_mode, topk_impl
+        )
         recall, precision = recall_precision_at_k(idx, tile_truth, k)
         return None, (idx, recall, precision)
 
@@ -196,6 +203,7 @@ def evaluate(
     user_tile: int = 1024,
     item_tile: int = 8192,
     mask_mode: str = "neginf",
+    topk_impl: str = "exact",
 ):
     """Compute MARK over an eval split from the propagated final embeddings.
 
@@ -205,7 +213,8 @@ def evaluate(
     """
     user_tile = min(user_tile, max(1, int(batch.user_ids.shape[0])))
     topk_idx, recall, precision = _evaluate_tiles(
-        final_emb, batch, n_users, k, user_tile, item_tile, mask_mode
+        final_emb, batch, n_users, k, user_tile, item_tile, mask_mode,
+        topk_impl,
     )
     return (
         float(jnp.mean(precision)),
