@@ -45,6 +45,11 @@ def main(argv=None):
         help="requests with at least this many users bypass the batcher "
              "(they are already efficient device batches — SERVE_r4.json)",
     )
+    ap.add_argument(
+        "--batch-workers", type=int, default=2,
+        help="initial batcher dispatch-worker pool size (resizable at "
+             "runtime via PUT /v1/models/<name>?workers=N)",
+    )
     args = ap.parse_args(argv)
 
     print("loading artifacts + propagating embeddings ...")
@@ -55,7 +60,7 @@ def main(argv=None):
     if not args.no_batching:
         service = BatchingRecommender(
             service, max_wait_s=args.batch_delay_ms / 1e3,
-            solo_min=args.batch_solo_min,
+            solo_min=args.batch_solo_min, parallelism=args.batch_workers,
         )
     print(f"ready ({service.stats()})")
     serve_forever(service, args.host, args.port)
