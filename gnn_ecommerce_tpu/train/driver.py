@@ -107,6 +107,18 @@ class TrainConfig:
     # written, which matches the reference's never-restored best opt state,
     # src/utils_v2.py:222-230).
     checkpoint_every: int = 1
+    # Fraction of link time the async writer may occupy. After a readback +
+    # write that took T seconds the writer idles T*(1-d)/d before taking the
+    # next snapshot from the mailbox (flush/stop skip the idle). Self-tuning:
+    # on a fast local link (real TPU-VM NVMe) writes are quick and the idle
+    # is negligible; through a slow link (the measured ~12 MB/s tunnel here,
+    # scripts/ckpt_readback_probe_r5.json) a saturating writer contends with
+    # every train-step dispatch for the WHOLE run — TRAIN_FULL_r5.json's
+    # epochs ran 57 s uncontended vs 65-72 s while a readback was in flight.
+    # 1.0 = saturate (round-4 behavior); the on-disk LAST simply lags by up
+    # to one extra readback interval, which is the same latest-wins
+    # durability contract the mailbox already gives.
+    async_save_duty: float = 0.5
 
     def hyperparams(self) -> dict:
         # Reference key-name parity for checkpoint metadata
@@ -161,6 +173,7 @@ def _train_impl(
     # contract: same prepared data, same seed); collectives keep device state
     # in lockstep. Only process 0 writes artifacts (logs here, checkpoint
     # files via the guard in train/checkpoint.py).
+    t_setup0 = time.perf_counter()
     is_main = jax.process_index() == 0
     os.makedirs(config.checkpoint_dir, exist_ok=True)
     log_path = config.log_path or os.path.join(config.checkpoint_dir, "train_log.jsonl")
@@ -194,6 +207,7 @@ def _train_impl(
     # 99%+ of users at ~25 MB padding.
     val_buckets = build_eval_buckets(prepared.val, width_floor=256)
     test_buckets = build_eval_buckets(prepared.test, width_floor=256)
+    t_graph_s = time.perf_counter() - t_setup0
 
     cfg = LightGCNConfig(
         num_nodes=graph.num_nodes,
@@ -601,9 +615,13 @@ def _train_impl(
     save_box: dict = {}   # name -> (snapshot_id, snap_p, snap_o, meta_kw)
     save_busy = [False]
     save_stop = [False]
+    save_flush = [False]  # flush in progress: the writer skips its duty idle
     save_seq = [0]
     save_errors: list = []
-    save_stats = {"requested": 0, "written": 0, "coalesced": 0}
+    save_stats = {
+        "requested": 0, "written": 0, "coalesced": 0,
+        "writer_busy_s": 0.0, "writer_bytes": 0,
+    }
 
     def _has_pinned_host() -> bool:
         try:
@@ -694,6 +712,19 @@ def _train_impl(
 
         return jax.tree.map(one, tree, is_leaf=lambda x: isinstance(x, list))
 
+    duty = min(max(float(config.async_save_duty), 0.05), 1.0)
+
+    def _tree_bytes(tree):
+        tot = [0]
+
+        def one(x):
+            xs = x if isinstance(x, list) else [x]
+            for b in xs:
+                tot[0] += b.size * b.dtype.itemsize
+
+        jax.tree.map(one, tree, is_leaf=lambda x: isinstance(x, list))
+        return tot[0]
+
     def _writer():
         while True:
             with save_cv:
@@ -704,6 +735,7 @@ def _train_impl(
                 items = dict(save_box)
                 save_box.clear()
                 save_busy[0] = True
+            t_busy = time.perf_counter()
             try:
                 # Names saved from the same do_save share one snapshot —
                 # group so BEST+LAST of an improving epoch read back ONCE.
@@ -711,6 +743,7 @@ def _train_impl(
                 for name, (sid, sp, so, kw) in items.items():
                     groups.setdefault(sid, (sp, so, []))[2].append((name, kw))
                 for sid, (sp, so, names) in groups.items():
+                    save_stats["writer_bytes"] += _tree_bytes(sp) + _tree_bytes(so)
                     host_p = _read_back(sp)  # one (banded) readback
                     host_o = _read_back(so)
                     for name, kw in names:
@@ -723,9 +756,25 @@ def _train_impl(
             except Exception as e:  # surfaced by the next do_save/flush
                 save_errors.append(e)
             finally:
+                busy_s = time.perf_counter() - t_busy
+                save_stats["writer_busy_s"] += busy_s
                 with save_cv:
                     save_busy[0] = False
                     save_cv.notify_all()
+            # Duty-cycle idle: return the link to train-step dispatch for
+            # T*(1-d)/d after a write that occupied it for T. A flush or
+            # stop cuts the idle short (save_cv is notified by both).
+            idle = busy_s * (1.0 - duty) / duty
+            deadline = time.monotonic() + min(idle, 600.0)
+            with save_cv:
+                while (
+                    time.monotonic() < deadline
+                    and not save_stop[0]
+                    and not save_flush[0]
+                ):
+                    save_cv.wait(
+                        timeout=max(0.01, min(1.0, deadline - time.monotonic()))
+                    )
 
     def _stop_saver():
         with save_cv:
@@ -780,8 +829,11 @@ def _train_impl(
     def flush_saves():
         if saver is not None:
             with save_cv:
+                save_flush[0] = True  # cut the writer's duty idle short
+                save_cv.notify_all()
                 while save_box or save_busy[0]:
                     save_cv.wait()
+                save_flush[0] = False
             _raise_save_errors()
         if jax.process_count() > 1:
             # Readers (best-restore, a subsequent resume) must not race
@@ -817,6 +869,19 @@ def _train_impl(
                 )
             }
         )
+    # Setup breakdown: the full-scale round-5 run had ~500 s of wall outside
+    # the epoch loop with only the operator build logged — make every phase
+    # visible so perf work targets measured time, not guesses.
+    log(
+        {
+            "msg": (
+                f"setup: {time.perf_counter() - t_setup0:.1f}s total "
+                f"(graph+sampler+eval buckets {t_graph_s:.1f}s)"
+            ),
+            "setup_s": time.perf_counter() - t_setup0,
+            "graph_setup_s": t_graph_s,
+        }
+    )
     for epoch in range(start_epoch, config.epochs):
         profiling = config.profile_dir and epoch == min(
             config.profile_epoch, config.epochs - 1
@@ -846,6 +911,11 @@ def _train_impl(
             "val_recall": recall,
             "dropped_arcs": float(metrics.get("dropped_arcs", 0.0)),
             "train_s": t_train,
+            # NB: through a remote device link block_until_ready is not a
+            # reliable completion barrier (CLAUDE.md), so trailing step
+            # compute can land in eval_s — the split is indicative, the
+            # epoch_s total is the trustworthy number.
+            "eval_s": t_total - t_train,
             "epoch_s": t_total,
             # Reference-equivalent work rate, NOT measured sparse ops: the
             # fast paths do algebraically less sparse work for the same
@@ -870,6 +940,7 @@ def _train_impl(
             }
         )
 
+        t_save0 = time.perf_counter()
         cur_targets = []  # saves of the CURRENT state: share one snapshot
         if recall > best_recall:
             best_recall, best_precision, best_epoch = recall, precision, epoch
@@ -906,6 +977,10 @@ def _train_impl(
                            recall=best_recall))],
                 )
                 best_dirty = False
+        if cur_targets:
+            # Snapshot/enqueue cost only (the readback+write runs on the
+            # writer thread); lives OUTSIDE epoch_s by design.
+            rec["save_s"] = time.perf_counter() - t_save0
 
     # Final test eval on the BEST params (fixes the reference bug that
     # evaluates the last-epoch model, src/train_lightgcn.py:73).
@@ -933,8 +1008,10 @@ def _train_impl(
             ckpt_view(params), ckpt_view(opt_state), leaves
         )
         params = post_restore(params)
+    t_final0 = time.perf_counter()
     final_emb = compute_embedding(params)
     test_precision, test_recall = eval_buckets_fn(final_emb, test_buckets)
+    t_test_s = time.perf_counter() - t_final0
     log(
         {
             "msg": (
@@ -945,8 +1022,10 @@ def _train_impl(
             "best_epoch": best_epoch,
             "test_precision": test_precision,
             "test_recall": test_recall,
+            "test_eval_s": t_test_s,
         }
     )
+    t_flush0 = time.perf_counter()
     flush_saves()  # drain the async writer; surfaces worker exceptions
     if saver is not None:
         _stop_saver()  # stop the worker thread
@@ -955,8 +1034,13 @@ def _train_impl(
                 "msg": (
                     f"async saves: {save_stats['written']} written, "
                     f"{save_stats['coalesced']} coalesced (superseded while "
-                    f"the link was busy) of {save_stats['requested']} requested"
+                    f"the link was busy) of {save_stats['requested']} "
+                    f"requested; writer busy "
+                    f"{save_stats['writer_busy_s']:.0f}s for "
+                    f"{save_stats['writer_bytes'] / 1e9:.1f} GB read back; "
+                    f"final flush {time.perf_counter() - t_flush0:.1f}s"
                 ),
+                "flush_s": time.perf_counter() - t_flush0,
                 **save_stats,
             }
         )
