@@ -404,3 +404,56 @@ def test_async_save_banded_snapshot(tmp_path, monkeypatch):
     for k in a.files:
         np_.testing.assert_array_equal(a[k], s[k])
     assert r_async.best_val_recall == pytest.approx(r_sync.best_val_recall)
+
+
+def test_async_save_duty_cycle(tmp_path, monkeypatch):
+    """The duty-cycled writer (async_save_duty < 1) idles between writes but
+    must NOT delay the end-of-run flush: a flush cuts the idle short, the
+    newest LAST still lands on disk, and the writer's occupancy/bytes are
+    logged for the run record."""
+    import json as _json
+    import time as _time
+
+    from gnn_ecommerce_tpu.train import driver as driver_mod
+
+    real_save = driver_mod.save_checkpoint
+    written = []
+
+    def slow_save(*args, **kwargs):
+        _time.sleep(0.3)  # make each write's busy window measurable
+        written.append((kwargs.get("name"), kwargs.get("epoch")))
+        return real_save(*args, **kwargs)
+
+    monkeypatch.setattr(driver_mod, "save_checkpoint", slow_save)
+    prep = make_prepared(seed=7)
+    n_epochs = 4
+    cfg = TrainConfig(
+        latent_dim=8, n_layers=2, epochs=n_epochs, batch_size=128,
+        batches_per_epoch=2, checkpoint_dir=str(tmp_path), lr=0.02,
+        async_saves=True, checkpoint_every=1,
+        # Aggressive duty: each ~0.3 s write earns a ~5.7 s idle — far longer
+        # than the remaining epochs, so without flush-cut-through the final
+        # writes could never land before the driver returns.
+        async_save_duty=0.05,
+    )
+    t0 = _time.perf_counter()
+    train(prep, cfg, verbose=False)
+    wall = _time.perf_counter() - t0
+    with open(tmp_path / "LightGCN_last" / "meta.json") as f:
+        assert _json.load(f)["epoch"] == n_epochs - 1
+    last_epochs = [e for name, e in written if name == "LightGCN_last"]
+    assert max(last_epochs) == n_epochs - 1
+    # The flush record carries the writer's occupancy accounting.
+    stats = None
+    with open(tmp_path / "train_log.jsonl") as f:
+        for line in f:
+            rec = _json.loads(line)
+            if "flush_s" in rec:
+                stats = rec
+    assert stats is not None
+    assert stats["written"] >= 2  # BEST + LAST at minimum
+    assert stats["writer_bytes"] > 0
+    assert stats["writer_busy_s"] > 0
+    # 4 tiny epochs + a handful of 0.3 s writes; if the duty idles (~5.7 s
+    # each) serialized into the run or the flush, the wall blows past this.
+    assert wall < 30.0
