@@ -145,7 +145,18 @@ def main(argv=None):
     ap.add_argument("--process-id", type=int, help="this host's process index")
     args = ap.parse_args(argv)
 
-    if args.distributed or args.coordinator:
+    if (
+        args.distributed
+        or args.coordinator
+        # Any multi-host signal must reach init_distributed — gating on
+        # --distributed/--coordinator alone would let `--num-processes 2
+        # --process-id 1` (or an ambient JAX_COORDINATOR_ADDRESS) silently
+        # run every host as an independent single-process job, each passing
+        # the process_index()==0 write guards and tearing shared artifacts.
+        or (args.num_processes or 0) > 1
+        or args.process_id is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    ):
         # MUST run before any backend-initializing JAX call; the import
         # chain above is import-only (see ops/topk_score.py note).
         from ..parallel.distributed import init_distributed

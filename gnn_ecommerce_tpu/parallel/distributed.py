@@ -70,6 +70,11 @@ def init_distributed(
 
 
 _replicate_fns: dict = {}
+# Bound the cache: each entry keeps a Mesh (device handles) and a compiled
+# executable alive. One train() run uses 1-2 keys; a long-lived process that
+# builds a fresh Mesh per run (the test suite, a retraining service) would
+# otherwise grow it without limit.
+_REPLICATE_FNS_MAX = 8
 
 
 def replicate_tree(tree, mesh):
@@ -97,6 +102,8 @@ def replicate_tree(tree, mesh):
         fn = jax.jit(
             lambda *ls: ls, out_shardings=tuple(rep for _ in leaves)
         )
+        while len(_replicate_fns) >= _REPLICATE_FNS_MAX:
+            _replicate_fns.pop(next(iter(_replicate_fns)))  # evict oldest
         _replicate_fns[key] = fn
     out = fn(*leaves)
     return jax.tree_util.tree_unflatten(treedef, list(out))

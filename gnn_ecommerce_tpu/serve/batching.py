@@ -93,12 +93,16 @@ class BatchingRecommender:
         with self._cond:
             self._target = n
             while self._live < self._target:
-                self._live += 1
                 self._worker_seq += 1
-                threading.Thread(
+                t = threading.Thread(
                     target=self._loop, daemon=True,
                     name=f"serve-batcher-{self._worker_seq}",
-                ).start()
+                )
+                # Count the worker live only once it actually started: a
+                # failed start() (thread exhaustion) would otherwise leave a
+                # phantom _live count that makes a REAL worker retire later.
+                t.start()
+                self._live += 1
             # Surplus workers blocked in take_batch wake and retire.
             self._cond.notify_all()
         return n

@@ -172,13 +172,18 @@ class RecommenderService:
         leaves, meta = load_checkpoint(*source)
         from ..train.checkpoint import find_leaf
 
+        # Pin the refresh to the version captured ABOVE: refresh() resolving
+        # self._active again would let a concurrent set-default make version
+        # B serve the embeddings loaded from A's checkpoint.
         secs = self.refresh(
-            {"embedding": jnp.asarray(find_leaf(leaves, meta, "embedding"))}
+            {"embedding": jnp.asarray(find_leaf(leaves, meta, "embedding"))},
+            version=active,
         )
         with self._lock:
-            self.checkpoint_meta = meta
             if active in self._versions:
                 self._versions[active]["meta"] = meta
+            if self._active == active:
+                self.checkpoint_meta = meta
         return secs
 
     def _propagate_params(self, params: dict, cfg: LightGCNConfig):
@@ -209,26 +214,33 @@ class RecommenderService:
         with self._lock:
             return self._versions[self._active]["emb"]
 
-    def refresh(self, params: dict) -> float:
-        """(Re)propagate and swap the ACTIVE version's cached final
-        embeddings in place; returns secs.
+    def refresh(self, params: dict, version: str | None = None) -> float:
+        """(Re)propagate and swap one version's cached final embeddings in
+        place (default: the version active at call time); returns secs.
 
-        The active version id and its cfg are captured UNDER THE LOCK
+        The target version id and its cfg are captured UNDER THE LOCK
         before the (slow, unlocked) propagation, and the result is written
         back to that SAME version id — a concurrent register/set-default
         on another server thread can therefore never have its entry
         clobbered by an in-flight refresh of the previously-active one.
+        If the target was UNREGISTERED while the propagation ran, the new
+        cache is dropped instead of resurrecting the version (which would
+        re-pin its ~600 MB device cache and overflow MAX_VERSIONS).
         """
         t0 = time.perf_counter()
         with self._lock:
-            active = self._active
-            ver = self._versions.get(active)
+            target = version if version is not None else self._active
+            ver = self._versions.get(target)
             cfg = ver["cfg"] if ver else self.cfg
             meta = (ver["meta"] if ver else getattr(self, "checkpoint_meta", {})) or {}
             source = ver["source"] if ver else getattr(self, "_checkpoint_source", None)
         emb, qcache = self._build_cache(params, cfg)
         with self._lock:
-            self._versions[active] = {
+            if ver is not None and target not in self._versions:
+                # Concurrently unregistered mid-propagation: drop the result.
+                self.last_refresh_s = time.perf_counter() - t0
+                return self.last_refresh_s
+            self._versions[target] = {
                 "emb": emb,
                 "qcache": qcache,
                 "meta": meta,
@@ -287,6 +299,11 @@ class RecommenderService:
         with self._lock:
             self._check_register_locked(version)  # may have raced another
             if version is None:
+                # Skip ids taken by EXPLICIT registrations — assigning
+                # str(_next_version) blindly would silently overwrite (and
+                # possibly hot-swap) a version registered under that id.
+                while str(self._next_version) in self._versions:
+                    self._next_version += 1
                 version = str(self._next_version)
                 self._next_version += 1
             self._versions[version] = {

@@ -928,17 +928,6 @@ def _train_impl(
             / max(t_train, 1e-9),
         }
         history.append(rec)
-        log(
-            {
-                **rec,
-                "msg": (
-                    f"Epoch {epoch}: Val P@{config.k}: {precision:.6f}, "
-                    f"R@{config.k}: {recall:.6f}, Loss: ({metrics['bpr_loss']:.6f}, "
-                    f"{metrics['reg_loss']:.6f}, {metrics['loss']:.6f}) "
-                    f"[{t_total:.2f}s]"
-                ),
-            }
-        )
 
         t_save0 = time.perf_counter()
         cur_targets = []  # saves of the CURRENT state: share one snapshot
@@ -981,6 +970,20 @@ def _train_impl(
             # Snapshot/enqueue cost only (the readback+write runs on the
             # writer thread); lives OUTSIDE epoch_s by design.
             rec["save_s"] = time.perf_counter() - t_save0
+        # Logged AFTER the save block so save_s reaches train_log.jsonl
+        # (history would have it either way, but the JSONL is what survives
+        # a crash).
+        log(
+            {
+                **rec,
+                "msg": (
+                    f"Epoch {epoch}: Val P@{config.k}: {precision:.6f}, "
+                    f"R@{config.k}: {recall:.6f}, Loss: ({metrics['bpr_loss']:.6f}, "
+                    f"{metrics['reg_loss']:.6f}, {metrics['loss']:.6f}) "
+                    f"[{t_total:.2f}s]"
+                ),
+            }
+        )
 
     # Final test eval on the BEST params (fixes the reference bug that
     # evaluates the last-epoch model, src/train_lightgcn.py:73).
