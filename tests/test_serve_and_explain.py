@@ -489,3 +489,91 @@ def test_register_version_cap_and_cheap_rejects(prepared, tmp_path, monkeypatch)
     assert len(loads) == n_loads  # full-registry reject is also pre-IO
     svc.unregister_version("2")
     assert svc.register_version(str(tmp_path / "ckpt"), "v") == "4"
+
+
+def test_register_autoversion_skips_taken_ids(prepared, tmp_path, monkeypatch):
+    """An auto-assigned version id must skip ids taken by EXPLICIT
+    registrations instead of silently overwriting them (round-5 session-2
+    review finding)."""
+    import jax
+    import optax
+
+    from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+    from gnn_ecommerce_tpu.serve import RecommenderService
+    from gnn_ecommerce_tpu.train.checkpoint import save_checkpoint
+
+    cfg = LightGCNConfig(
+        num_nodes=prepared.n_users + prepared.n_items, embedding_dim=8,
+        num_layers=2,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    save_prepared(prepared, str(tmp_path / "data"))
+    save_checkpoint(
+        str(tmp_path / "ckpt"), params, optax.adam(1e-3).init(params),
+        epoch=0, precision=0.1, recall=0.2,
+        hyperparams={"latent_dim": 8, "n_layers": 2}, name="v",
+    )
+    svc = RecommenderService.from_artifacts(
+        str(tmp_path / "data"), str(tmp_path / "ckpt"), "v", k=5
+    )
+    monkeypatch.setattr(RecommenderService, "MAX_VERSIONS", 8)
+    # Explicitly take the id the auto counter would assign next ("2").
+    svc.register_version(str(tmp_path / "ckpt"), "v", version="2")
+    marker = svc._versions["2"]
+    got = svc.register_version(str(tmp_path / "ckpt"), "v")  # auto id
+    assert got == "3"  # skipped the taken "2"
+    assert svc._versions["2"] is marker  # explicit registration untouched
+    assert set(svc._versions) == {"1", "2", "3"}
+
+
+def test_refresh_pinned_version_and_unregister_race(prepared, tmp_path):
+    """refresh() writes back to the version captured at call time, and a
+    version unregistered mid-propagation is dropped rather than resurrected
+    (round-5 session-2 review findings)."""
+    import jax
+    import optax
+
+    from gnn_ecommerce_tpu.models import LightGCNConfig, init_params
+    from gnn_ecommerce_tpu.serve import RecommenderService
+    from gnn_ecommerce_tpu.train.checkpoint import save_checkpoint
+
+    cfg = LightGCNConfig(
+        num_nodes=prepared.n_users + prepared.n_items, embedding_dim=8,
+        num_layers=2,
+    )
+    hp = {"latent_dim": 8, "n_layers": 2}
+    save_prepared(prepared, str(tmp_path / "data"))
+    opt = optax.adam(1e-3)
+    for i, name in enumerate(["vA", "vB"]):
+        p = init_params(jax.random.key(i), cfg)
+        save_checkpoint(
+            str(tmp_path / "ckpt"), p, opt.init(p), epoch=i,
+            precision=0.1, recall=0.2, hyperparams=hp, name=name,
+        )
+    svc = RecommenderService.from_artifacts(
+        str(tmp_path / "data"), str(tmp_path / "ckpt"), "vA", k=5
+    )
+    svc.register_version(str(tmp_path / "ckpt"), "vB")  # "2", now default
+
+    # A concurrent set-default happened between refresh_from_checkpoint's
+    # capture of version "1" and the write-back: the result must land on
+    # "1", not clobber the now-active "2".
+    emb2_before = svc._versions["2"]["emb"]
+    params = {"embedding": init_params(jax.random.key(9), cfg)["embedding"]}
+    svc.refresh(params, version="1")
+    assert svc._versions["2"]["emb"] is emb2_before  # active untouched
+    assert svc._active == "2"
+
+    # Unregister-mid-refresh: the target disappears while the (unlocked)
+    # propagation runs; the new cache must be dropped, not resurrected.
+    orig_build = svc._build_cache
+
+    def build_and_unregister(p, c):
+        out = orig_build(p, c)
+        svc.unregister_version("1")
+        return out
+
+    svc._build_cache = build_and_unregister
+    svc.refresh(params, version="1")
+    assert "1" not in svc._versions  # not resurrected past the unregister
+    assert svc._active == "2"
