@@ -231,6 +231,27 @@ def _train_impl(
     train_size = len(prepared.edge_user)
     n_batch = config.batches_per_epoch or max(1, train_size // (config.batch_size * 40))
 
+    def _build_with_retry(build, what: str):
+        """One-time operator builds retried ONCE on a transient chip-side
+        RESOURCE_EXHAUSTED: the full-scale round-5 run hit one during the
+        B_ii build with nothing else on the chip, and a plain retry
+        succeeded (CLAUDE.md). A genuine OOM fails again immediately."""
+        try:
+            return build()
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            log(
+                {
+                    "msg": (
+                        f"{what}: transient RESOURCE_EXHAUSTED "
+                        f"({type(e).__name__}); retrying once in 10 s"
+                    )
+                }
+            )
+            time.sleep(10.0)
+            return build()
+
     # Identity by default; the edge-partition branch swaps in a view that
     # strips row padding so checkpoints stay strategy-portable.
     ckpt_view = lambda tree: tree
@@ -289,11 +310,14 @@ def _train_impl(
             mode = "bfloat16" if config.fast_bipartite == "bf16" else "float32"
             t0 = time.perf_counter()
             split = split_graph(graph)
-            item_op = build_item_operator(
-                split,
-                dtype=jnp.bfloat16
-                if config.fast_bipartite == "bf16"
-                else jnp.float32,
+            item_op = _build_with_retry(
+                lambda: build_item_operator(
+                    split,
+                    dtype=jnp.bfloat16
+                    if config.fast_bipartite == "bf16"
+                    else jnp.float32,
+                ),
+                "item-operator build",
             )
             with mesh:
                 fep = build_fast_edge_partition(
@@ -423,11 +447,14 @@ def _train_impl(
                 from ..ops.bipartite import build_fast_bipartite, fast_get_embedding
 
                 t0 = time.perf_counter()
-                fb = build_fast_bipartite(
-                    graph,
-                    dtype=jnp.bfloat16
-                    if config.fast_bipartite == "bf16"
-                    else jnp.float32,
+                fb = _build_with_retry(
+                    lambda: build_fast_bipartite(
+                        graph,
+                        dtype=jnp.bfloat16
+                        if config.fast_bipartite == "bf16"
+                        else jnp.float32,
+                    ),
+                    "fast-bipartite build",
                 )
                 mode = (
                     "bfloat16" if config.fast_bipartite == "bf16" else "float32"
@@ -477,13 +504,16 @@ def _train_impl(
         t0 = time.perf_counter()
         # Measured-optimal SpMM plans ride along (ops/spmm_fast.py): message
         # precision follows the B_ii mode (bf16 = benchmarked, f32 = exact).
-        fb = build_fast_bipartite(
-            graph,
-            dtype=jnp.bfloat16 if config.fast_bipartite == "bf16" else jnp.float32,
-            fast_ops=True,
-            msgs_dtype="bfloat16" if config.fast_bipartite == "bf16" else "float32",
-            heavy_users=config.heavy_users,
-            heavy_dtype="bfloat16" if config.fast_bipartite == "bf16" else "float32",
+        fb = _build_with_retry(
+            lambda: build_fast_bipartite(
+                graph,
+                dtype=jnp.bfloat16 if config.fast_bipartite == "bf16" else jnp.float32,
+                fast_ops=True,
+                msgs_dtype="bfloat16" if config.fast_bipartite == "bf16" else "float32",
+                heavy_users=config.heavy_users,
+                heavy_dtype="bfloat16" if config.fast_bipartite == "bf16" else "float32",
+            ),
+            "fast-bipartite build",
         )
         jax.block_until_ready(fb.item_op)
         log(

@@ -1,6 +1,7 @@
 """End-to-end training on a synthetic dataset: loss decreases, recall beats
 random, checkpoints round-trip, resume continues (SURVEY.md §4 / BASELINE
 config 2 analog, CPU-sized)."""
+import dataclasses
 import os
 
 import pytest
@@ -457,3 +458,45 @@ def test_async_save_duty_cycle(tmp_path, monkeypatch):
     # 4 tiny epochs + a handful of 0.3 s writes; if the duty idles (~5.7 s
     # each) serialized into the run or the flush, the wall blows past this.
     assert wall < 30.0
+
+
+def test_operator_build_transient_oom_retry(tmp_path, monkeypatch):
+    """A one-time operator build that hits a transient chip-side
+    RESOURCE_EXHAUSTED is retried once (the failure mode that cost a
+    full-scale run attempt in round 5); a second failure propagates."""
+    from gnn_ecommerce_tpu.ops import bipartite as bip_mod
+    from gnn_ecommerce_tpu.train import driver as driver_mod
+
+    monkeypatch.setattr(driver_mod.time, "sleep", lambda s: None)
+    real_build = bip_mod.build_fast_bipartite
+    calls = []
+
+    def flaky_build(*args, **kwargs):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory (transient)")
+        return real_build(*args, **kwargs)
+
+    monkeypatch.setattr(bip_mod, "build_fast_bipartite", flaky_build)
+    prep = make_prepared(seed=11)
+    cfg = TrainConfig(
+        latent_dim=8, n_layers=2, epochs=1, batch_size=128,
+        batches_per_epoch=2, checkpoint_dir=str(tmp_path), lr=0.02,
+        fast_bipartite="f32",
+    )
+    result = train(prep, cfg, verbose=False)
+    assert len(calls) == 2  # failed once, retried, succeeded
+    assert result.best_epoch == 0
+
+    # A PERSISTENT failure must still propagate (no infinite retry).
+    calls.clear()
+
+    def always_oom(*args, **kwargs):
+        calls.append(1)
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    monkeypatch.setattr(bip_mod, "build_fast_bipartite", always_oom)
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        train(prep, dataclasses.replace(cfg, checkpoint_dir=str(tmp_path / "b")),
+              verbose=False)
+    assert len(calls) == 2  # exactly one retry
