@@ -169,3 +169,40 @@ def test_movielens_tsv_with_header(tmp_path):
     assert len(edges) == 2
     assert edges.loc[0, "weight"] == 1.0
     assert edges.loc[1, "weight"] == pytest.approx(0.2)
+
+
+@pytest.mark.parametrize(
+    "argv,env",
+    [
+        (["--num-processes", "2", "--process-id", "0"], {}),
+        (["--process-id", "1"], {}),
+        ([], {"JAX_COORDINATOR_ADDRESS": "h0:9999"}),
+    ],
+)
+def test_train_cli_bootstrap_gate_fires_on_any_signal(
+    tmp_path, monkeypatch, argv, env
+):
+    """ANY multi-host bootstrap signal (--num-processes/--process-id/the
+    JAX_COORDINATOR_ADDRESS env var) must reach init_distributed — flags
+    without --distributed/--coordinator previously ran every host as an
+    independent single-process job (round-5 session-2 review finding)."""
+    calls = []
+
+    from gnn_ecommerce_tpu.parallel import distributed as dist_mod
+
+    monkeypatch.setattr(
+        dist_mod, "init_distributed",
+        lambda **kw: (calls.append(kw), {"mocked": True})[1],
+    )
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"data_dir: {tmp_path}/prep\ncheckpoint_dir: {tmp_path}/ckpt\n"
+    )
+    train_cli.main(
+        ["--config", str(cfg), "--synthetic", "-e", "1",
+         "--synthetic-users", "200", "--synthetic-items", "40",
+         "--synthetic-events", "4000", *argv]
+    )
+    assert len(calls) == 1  # the gate fired exactly once

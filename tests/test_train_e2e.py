@@ -455,6 +455,12 @@ def test_async_save_duty_cycle(tmp_path, monkeypatch):
     assert stats["written"] >= 2  # BEST + LAST at minimum
     assert stats["writer_bytes"] > 0
     assert stats["writer_busy_s"] > 0
+    # Epoch records carry save_s (snapshot+enqueue) IN THE JSONL — the log
+    # is what survives a crash, so phase timings must land there, not only
+    # in the in-memory history (round-5 session-2 review finding).
+    with open(tmp_path / "train_log.jsonl") as f:
+        epoch_recs = [r for r in map(_json.loads, f) if "epoch_s" in r]
+    assert any("save_s" in r for r in epoch_recs)
     # 4 tiny epochs + a handful of 0.3 s writes; if the duty idles (~5.7 s
     # each) serialized into the run or the flush, the wall blows past this.
     assert wall < 30.0
